@@ -1,0 +1,295 @@
+"""FEM core tests: element exactness, patch test, analytic beam, scipy parity.
+
+This is the test pyramid the reference lacks (SURVEY.md §4): element-stiffness
+unit tests vs analytic values, patch tests, cantilever convergence, PCG
+behavior, and the <1e-6-vs-direct-solve criterion from BASELINE.md.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufem.fem import (
+    Material,
+    WingSolveConfig,
+    lame_params,
+    pcg,
+    solve_wing_case,
+    tet4_setup,
+    von_mises,
+)
+from tpufem.fem.assembly import elastic_force, stiffness_diagonal, stiffness_operator
+from tpufem.fem.driver import surface_results
+from tpufem.fem.loads import pressure_loads
+from tpufem.fem.refsolve import assemble_K, direct_solve, pressure_loads_np
+from tpufem.fem.bc import dirichlet_mask
+from tpufem.mesh_types import Mesh
+from tpufem.mesher import COARSE, boundary_faces, structured_wing_mesh
+from tpufem.sets import build_boundary_sets
+
+MAT = Material(E=69e9, nu=0.33)
+LAM, MU = lame_params(MAT)
+
+
+def unit_tet():
+    nodes = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float64)
+    tets = np.array([[0, 1, 2, 3]], dtype=np.int32)
+    return nodes, tets
+
+
+def box_mesh(nx=2, ny=2, nz=2, L=(1.0, 1.0, 1.0)):
+    """Structured box of Kuhn tets for patch/beam tests."""
+    from tpufem.mesher import _HEX_CORNERS, _KUHN_TETS
+
+    xs = [np.linspace(0, L[d], n + 1) for d, n in enumerate((nx, ny, nz))]
+    X, Y, Z = np.meshgrid(*xs, indexing="ij")
+    nodes = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    def gid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    ci, cj, ck = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+    ci, cj, ck = ci.ravel(), cj.ravel(), ck.ravel()
+    corners = np.stack(
+        [gid(ci + di, cj + dj, ck + dk) for (di, dj, dk) in _HEX_CORNERS], axis=1
+    )
+    tets = corners[:, _KUHN_TETS].reshape(-1, 4)
+    v = nodes[tets]
+    vol6 = np.einsum(
+        "ti,ti->t", v[:, 1] - v[:, 0], np.cross(v[:, 2] - v[:, 0], v[:, 3] - v[:, 0])
+    )
+    flip = vol6 < 0
+    tets[flip] = tets[flip][:, [0, 1, 3, 2]]
+    return Mesh(
+        nodes=nodes,
+        tets=tets.astype(np.int32),
+        surf_faces=boundary_faces(tets).astype(np.int32),
+    )
+
+
+# ---------------------------------------------------------------- element level
+
+
+def test_tet4_gradients_sum_to_zero():
+    nodes, tets = unit_tet()
+    grads, vols = tet4_setup(jnp.asarray(nodes), jnp.asarray(tets))
+    np.testing.assert_allclose(np.asarray(grads).sum(axis=1), 0.0, atol=1e-14)
+    assert float(vols[0]) == pytest.approx(1.0 / 6.0)
+
+
+def test_tet4_gradients_reproduce_linear_field():
+    """grad N exactness: for u = a + G x, H = sum_a g_a (x) u_a must equal G^T."""
+    rng = np.random.default_rng(0)
+    nodes = rng.normal(size=(4, 3))
+    tets = np.array([[0, 1, 2, 3]], dtype=np.int32)
+    v = nodes[tets][0]
+    if np.dot(v[1] - v[0], np.cross(v[2] - v[0], v[3] - v[0])) < 0:
+        tets = np.array([[0, 1, 3, 2]], dtype=np.int32)
+    grads, _ = tet4_setup(jnp.asarray(nodes), jnp.asarray(tets))
+    G = rng.normal(size=(3, 3))
+    u = nodes @ G.T  # u_i(x) = G_ij x_j
+    H = np.einsum("ai,aj->ij", np.asarray(grads)[0], u[np.asarray(tets)[0]])
+    np.testing.assert_allclose(H, G.T, atol=1e-12)
+
+
+def test_operator_matches_explicit_matrix():
+    """Matrix-free tensor-form action == explicit Ke assembly on random mesh."""
+    m = box_mesh(2, 2, 2)
+    K = assemble_K(m.nodes, m.tets, MAT).toarray()
+    grads, vols = tet4_setup(jnp.asarray(m.nodes), jnp.asarray(m.tets))
+    rng = np.random.default_rng(1)
+    u = rng.normal(size=(m.num_nodes, 3))
+    y = elastic_force(grads, vols, jnp.asarray(m.tets), jnp.asarray(u), LAM, MU, m.num_nodes)
+    np.testing.assert_allclose(np.asarray(y).reshape(-1), K @ u.reshape(-1), rtol=1e-10)
+
+
+def test_stiffness_diagonal_matches_matrix():
+    m = box_mesh(2, 2, 2)
+    K = assemble_K(m.nodes, m.tets, MAT)
+    free = jnp.ones(m.num_nodes * 3)
+    grads, vols = tet4_setup(jnp.asarray(m.nodes), jnp.asarray(m.tets))
+    d = stiffness_diagonal(grads, vols, jnp.asarray(m.tets), LAM, MU, m.num_nodes, free)
+    np.testing.assert_allclose(np.asarray(d), K.diagonal(), rtol=1e-10)
+
+
+def test_pressure_loads_match_numpy_and_total_force():
+    m = structured_wing_mesh(1.2, 0.35, 0.0, 0.10, COARSE)
+    bs = build_boundary_sets(m)
+    faces = m.surf_faces[bs.surf_upper_faces]
+    p = 5000.0
+    f_jax = np.asarray(pressure_loads(jnp.asarray(m.nodes), jnp.asarray(faces), p, m.num_nodes))
+    f_np = pressure_loads_np(m.nodes, faces, p)
+    np.testing.assert_allclose(f_jax, f_np, rtol=1e-12, atol=1e-12)
+    # total vertical force = -p * projected (xy-plane) area of the upper skin
+    v = m.nodes[faces]
+    proj = 0.5 * np.abs(
+        np.cross(v[:, 1, :2] - v[:, 0, :2], v[:, 2, :2] - v[:, 0, :2])
+    ).sum()
+    assert f_jax[:, 2].sum() == pytest.approx(-p * proj, rel=1e-9)
+
+
+# ------------------------------------------------------------------ patch test
+
+
+def test_patch_uniaxial_stress():
+    """Uniform traction on a clamped-free bar reproduces exact constant stress.
+
+    Constant-strain patch: pull a box along +x with uniform end traction and
+    roller BCs; tet4 must reproduce sigma_xx = t exactly (to solver tol).
+    """
+    m = box_mesh(3, 2, 2, L=(2.0, 1.0, 1.0))
+    n = m.num_nodes
+    traction = 1e6
+
+    # BCs: x=0 plane u_x=0; plus minimal constraints to pin rigid modes while
+    # leaving Poisson contraction free: y=0 plane u_y=0, z=0 plane u_z=0.
+    free = np.ones((n, 3))
+    free[m.nodes[:, 0] < 1e-12, 0] = 0
+    free[m.nodes[:, 1] < 1e-12, 1] = 0
+    free[m.nodes[:, 2] < 1e-12, 2] = 0
+    free = jnp.asarray(free.reshape(-1))
+
+    # load: traction on x=2 end faces
+    fv = m.nodes[m.surf_faces]
+    end = np.abs(fv[:, :, 0].mean(axis=1) - 2.0) < 1e-9
+    end_faces = m.surf_faces[end]
+    v = m.nodes[end_faces]
+    area_vec = 0.5 * np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    f = np.zeros((n, 3))
+    for k in range(3):
+        np.add.at(f, end_faces[:, k], traction / 3.0 * area_vec)
+
+    grads, vols = tet4_setup(jnp.asarray(m.nodes), jnp.asarray(m.tets))
+    A = stiffness_operator(grads, vols, jnp.asarray(m.tets), LAM, MU, n, free)
+    diag = stiffness_diagonal(grads, vols, jnp.asarray(m.tets), LAM, MU, n, free)
+    b = jnp.asarray(f.reshape(-1)) * free
+    res = pcg(A, b, diag, tol=1e-12, maxiter=5000)
+    assert bool(res.converged)
+    u = np.asarray(res.x).reshape(-1, 3)
+
+    # exact: u_x = (t/E) x, u_y = -nu t/E y, u_z = -nu t/E z
+    exact = np.stack(
+        [
+            traction / MAT.E * m.nodes[:, 0],
+            -MAT.nu * traction / MAT.E * m.nodes[:, 1],
+            -MAT.nu * traction / MAT.E * m.nodes[:, 2],
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(u, exact, rtol=1e-8, atol=1e-15)
+
+    # constant stress sigma_xx = traction, vm = traction
+    from tpufem.fem.vonmises import element_stress
+
+    sig = np.asarray(element_stress(grads, vols, jnp.asarray(m.tets), jnp.asarray(u), LAM, MU))
+    np.testing.assert_allclose(sig[:, 0, 0], traction, rtol=1e-7)
+    np.testing.assert_allclose(sig[:, 1, 1], 0.0, atol=traction * 1e-7)
+
+
+# ------------------------------------------------------------- cantilever beam
+
+
+def test_cantilever_tip_deflection_converges():
+    """Euler-Bernoulli sanity: tip deflection within ~20% at moderate resolution
+    and monotonically approaching the analytic value under refinement.
+
+    Tet4 is stiff in bending (shear locking-ish behavior), so the check is
+    convergence-trend + bracket, not tight equality.
+    """
+    L, b, h = 2.0, 0.2, 0.2
+    q = 1e4  # N/m^2 on top surface
+    E = MAT.E
+    I = b * h**3 / 12.0
+    w = q * b  # line load N/m
+    tip_exact = w * L**4 / (8 * E * I)
+
+    results = []
+    for nx, ny, nz in [(12, 2, 2), (24, 3, 4)]:
+        m = box_mesh(nx, ny, nz, L=(L, b, h))
+        n = m.num_nodes
+        free = np.ones((n, 3))
+        free[m.nodes[:, 0] < 1e-12] = 0.0  # clamp x=0 plane
+        free = jnp.asarray(free.reshape(-1))
+        fv = m.nodes[m.surf_faces]
+        top = np.abs(fv[:, :, 2].mean(axis=1) - h) < 1e-9
+        f = pressure_loads_np(m.nodes, m.surf_faces[top], q)
+        grads, vols = tet4_setup(jnp.asarray(m.nodes), jnp.asarray(m.tets))
+        A = stiffness_operator(grads, vols, jnp.asarray(m.tets), LAM, MU, n, free)
+        diag = stiffness_diagonal(grads, vols, jnp.asarray(m.tets), LAM, MU, n, free)
+        res = pcg(A, jnp.asarray(f.reshape(-1)) * free, diag, tol=1e-10, maxiter=20000)
+        assert bool(res.converged)
+        u = np.asarray(res.x).reshape(-1, 3)
+        tip = -u[np.abs(m.nodes[:, 0] - L) < 1e-9, 2].mean()
+        results.append(tip)
+
+    assert results[1] > results[0]  # softening toward exact under refinement
+    assert 0.5 * tip_exact < results[1] < 1.1 * tip_exact
+
+
+# ------------------------------------------------------- wing end-to-end solve
+
+
+@pytest.fixture(scope="module")
+def wing_case():
+    m = structured_wing_mesh(1.2, 0.35, 0.0, 0.10, COARSE)
+    bs = build_boundary_sets(m)
+    cfg = WingSolveConfig(pressure=100.0, dtype=jnp.float64, tol=1e-10, maxiter=50000)
+    sol = solve_wing_case(m, bs, cfg)
+    return m, bs, sol
+
+
+def test_wing_solve_matches_direct_solve(wing_case):
+    """BASELINE criterion: <1e-6 relative vs independent direct factorization."""
+    m, bs, sol = wing_case
+    assert sol.converged
+    u_ref, s6_ref, vm_ref = direct_solve(m, bs, pressure=100.0)
+    u_err = np.linalg.norm(sol.u - u_ref) / np.linalg.norm(u_ref)
+    vm_err = np.abs(sol.vm - vm_ref).max() / vm_ref.max()
+    assert u_err < 1e-6
+    assert vm_err < 1e-6
+
+
+def test_wing_solve_physics(wing_case):
+    """Spec validation-case expectations (reference docs/spec.md:309-353):
+    downward -Z deflection under upper pressure, root stress concentration
+    decaying along span, no nan/inf."""
+    m, bs, sol = wing_case
+    assert np.isfinite(sol.u).all() and np.isfinite(sol.vm).all()
+    assert sol.u[:, 2].mean() < 0  # deflects downward
+    # tip deflects more than mid-span
+    y = m.nodes[:, 1]
+    tip = np.abs(sol.u[y > 0.9 * y.max(), 2]).mean()
+    mid = np.abs(sol.u[(y > 0.4 * y.max()) & (y < 0.6 * y.max()), 2]).mean()
+    assert tip > mid
+    # stress concentrates at root: mean vm in root quarter > tip quarter
+    vm_root = sol.vm[y < 0.25 * y.max()].mean()
+    vm_tip = sol.vm[y > 0.75 * y.max()].mean()
+    assert vm_root > 2 * vm_tip
+
+
+def test_surface_results_schema(wing_case):
+    m, bs, sol = wing_case
+    out = surface_results(m, bs, sol, span_m=1.2)
+    n = len(out["node_id"])
+    assert out["pos"].shape == (n, 3)
+    assert out["normal"].shape == (n, 3)
+    assert out["stress_vm"].shape == (n,)
+    assert out["disp"].shape == (n, 3)
+    assert out["loss_mask"].dtype == bool
+    # normals are unit, loss mask excludes the root band
+    np.testing.assert_allclose(np.linalg.norm(out["normal"], axis=1), 1.0, atol=1e-5)
+    assert (~out["loss_mask"][out["pos"][:, 1] <= 0.05 * 1.2]).all()
+
+
+def test_von_mises_formula():
+    s = np.array([[100.0, 0, 0, 0, 0, 0], [0, 0, 0, 50.0, 0, 0]])
+    vm = np.asarray(von_mises(jnp.asarray(s)))
+    assert vm[0] == pytest.approx(100.0)
+    assert vm[1] == pytest.approx(50.0 * np.sqrt(3))
+
+
+def test_dirichlet_mask_layout():
+    m = dirichlet_mask(4, np.array([1, 3]))
+    expect = np.ones((4, 3))
+    expect[[1, 3]] = 0
+    np.testing.assert_array_equal(np.asarray(m), expect.reshape(-1))

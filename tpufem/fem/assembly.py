@@ -1,0 +1,72 @@
+"""Matrix-free stiffness operator and Jacobi diagonal via segment-sum scatter.
+
+Replaces CalculiX's global K assembly + SPOOLES factorization (reference
+fem.py:524-533) with the TPU-idiomatic pattern: gather element displacements,
+compute per-element stress action (elements.py tensor form), scatter-add nodal
+forces with `jax.ops.segment_sum`. No global sparse matrix is ever materialized;
+the operator composes with jit / vmap (batched cases) / shard_map (node-sharded
+SpMV, tpufem.parallel).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def elastic_force(grads, vols, tets, u_nodes, lam, mu, num_nodes):
+    """y = K @ u in nodal (N,3) layout.
+
+    Args:
+      grads: (T,4,3), vols: (T,), tets: (T,4) int
+      u_nodes: (N,3) displacement
+      lam, mu: Lame scalars
+    Returns (N,3) nodal forces.
+    """
+    ue = u_nodes[tets]  # (T,4,3) gather
+    H = jnp.einsum("tai,taj->tij", grads, ue)  # displacement gradient
+    eps = 0.5 * (H + jnp.swapaxes(H, 1, 2))
+    tr = eps[:, 0, 0] + eps[:, 1, 1] + eps[:, 2, 2]
+    sigma = 2.0 * mu * eps
+    sigma = sigma.at[:, 0, 0].add(lam * tr)
+    sigma = sigma.at[:, 1, 1].add(lam * tr)
+    sigma = sigma.at[:, 2, 2].add(lam * tr)
+    fe = vols[:, None, None] * jnp.einsum("tij,taj->tai", sigma, grads)  # (T,4,3)
+    return jax.ops.segment_sum(
+        fe.reshape(-1, 3), tets.reshape(-1), num_segments=num_nodes
+    )
+
+
+def stiffness_operator(grads, vols, tets, lam, mu, num_nodes, free_mask):
+    """Return A(x) for the BC-reduced SPD system in flat (N*3,) layout.
+
+    Dirichlet elimination by masking (SURVEY.md §7 hard part 5: per-case NROOT
+    sets as masks, never dynamic shapes):  A(x) = m*K(m*x) + (1-m)*x, which keeps
+    the operator SPD with unit diagonal on constrained dofs.
+    """
+    free3 = free_mask.reshape(-1, 3)
+
+    def apply(x_flat):
+        u = x_flat.reshape(-1, 3) * free3
+        y = elastic_force(grads, vols, tets, u, lam, mu, num_nodes)
+        y = y * free3 + x_flat.reshape(-1, 3) * (1.0 - free3)
+        return y.reshape(-1)
+
+    return apply
+
+
+def stiffness_diagonal(grads, vols, tets, lam, mu, num_nodes, free_mask):
+    """diag(K) with unit entries on constrained dofs (Jacobi preconditioner).
+
+    Per element, K_{ai,ai} = V * (lam*g_ai^2 + mu*g_ai^2 + mu*|g_a|^2).
+    """
+    g2 = grads**2  # (T,4,3)
+    gg = g2.sum(axis=2, keepdims=True)  # |g_a|^2
+    d = vols[:, None, None] * ((lam + mu) * g2 + mu * gg)  # (T,4,3)
+    diag = jax.ops.segment_sum(d.reshape(-1, 3), tets.reshape(-1), num_segments=num_nodes)
+    diag = diag.reshape(-1)
+    free = free_mask
+    # padded/isolated nodes also get unit diagonal so the operator stays SPD
+    diag = jnp.where((free > 0) & (diag > 0), diag, 1.0)
+    diag = jnp.where(free > 0, diag, 1.0)
+    return diag

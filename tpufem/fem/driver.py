@@ -1,0 +1,137 @@
+"""End-to-end wing solve: mesh + sets + material + pressure -> displacement,
+nodal stress, von Mises — one jitted function, vmappable over cases.
+
+This is the TPU replacement for the reference's `run_fem_case` core path
+(fem.py:427-762): write_inp -> ccx subprocess -> FRD parse becomes a single
+device computation. Surface extraction (outward node normals, root-band loss
+mask) mirrors fem.py:390-424 and 638-640 so the artifact contract
+(surface_results.npz) is preserved bit-for-bit in schema.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.assembly import stiffness_operator, stiffness_diagonal
+from tpufem.fem.bc import dirichlet_mask
+from tpufem.fem.elements import tet4_setup
+from tpufem.fem.loads import pressure_loads
+from tpufem.fem.material import Material, lame_params
+from tpufem.fem.solver import pcg
+from tpufem.fem.vonmises import element_stress, nodal_stress, von_mises
+from tpufem.mesh_types import Mesh
+from tpufem.sets import BoundarySets, face_normals_areas
+
+
+@dataclass(frozen=True)
+class WingSolveConfig:
+    pressure: float = 5e3  # Pa, reference default (generate_fem_dataset.py:43-47)
+    material: Material = Material()
+    tol: float = 1e-8
+    maxiter: int = 20000
+    dtype: Any = jnp.float32
+
+
+@dataclass
+class FemSolution:
+    u: np.ndarray  # (N,3) displacement
+    stress6: np.ndarray  # (N,6) nodal Voigt stress
+    vm: np.ndarray  # (N,) von Mises
+    iters: int
+    rel_residual: float
+    converged: bool
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "tol", "maxiter"))
+def solve_core(
+    nodes,
+    tets,
+    upper_faces,
+    free_mask,
+    pressure,
+    lam,
+    mu,
+    num_nodes: int,
+    tol: float,
+    maxiter: int,
+    tet_mask=None,
+    face_mask=None,
+):
+    """Jitted single-case solve. All shapes static; padding via masks.
+
+    Returns (u (N,3), stress6 (N,6), vm (N,), iters, rel_residual, converged).
+    """
+    grads, vols = tet4_setup(nodes, tets, tet_mask)
+    f = pressure_loads(nodes, upper_faces, pressure, num_nodes, face_mask)
+    b = (f.reshape(-1) * free_mask).astype(nodes.dtype)
+    A = stiffness_operator(grads, vols, tets, lam, mu, num_nodes, free_mask)
+    diag = stiffness_diagonal(grads, vols, tets, lam, mu, num_nodes, free_mask)
+    res = pcg(A, b, diag, tol=tol, maxiter=maxiter)
+    u = (res.x * free_mask).reshape(-1, 3)
+    sigma_e = element_stress(grads, vols, tets, u, lam, mu)
+    s6 = nodal_stress(sigma_e, vols, tets, num_nodes)
+    vm = von_mises(s6)
+    return u, s6, vm, res.iters, res.rel_residual, res.converged
+
+
+def solve_wing_case(
+    mesh: Mesh, sets: BoundarySets, config: WingSolveConfig = WingSolveConfig()
+) -> FemSolution:
+    """Host-facing single-case solve (prep on host, compute on device)."""
+    dt = config.dtype
+    nodes = jnp.asarray(mesh.nodes, dtype=dt)
+    tets = jnp.asarray(mesh.tets)
+    upper = jnp.asarray(mesh.surf_faces[sets.surf_upper_faces])
+    free = dirichlet_mask(mesh.num_nodes, sets.nroot_nodes, dtype=dt)
+    lam, mu = lame_params(config.material)
+    u, s6, vm, iters, rel, conv = solve_core(
+        nodes,
+        tets,
+        upper,
+        free,
+        jnp.asarray(config.pressure, dtype=dt),
+        jnp.asarray(lam, dtype=dt),
+        jnp.asarray(mu, dtype=dt),
+        num_nodes=mesh.num_nodes,
+        tol=config.tol,
+        maxiter=config.maxiter,
+    )
+    return FemSolution(
+        u=np.asarray(u),
+        stress6=np.asarray(s6),
+        vm=np.asarray(vm),
+        iters=int(iters),
+        rel_residual=float(rel),
+        converged=bool(conv),
+    )
+
+
+def surface_results(
+    mesh: Mesh, sets: BoundarySets, sol: FemSolution, span_m: float
+) -> dict[str, np.ndarray]:
+    """surface_results.npz payload (reference fem.py:611-650): surface node ids,
+    positions, area-weighted outward normals, von Mises, displacement, and the
+    root-singularity loss mask y > 0.05*span."""
+    faces = mesh.surf_faces[sets.surf_all_faces]
+    surf_nodes = np.unique(faces)
+    normals, areas = face_normals_areas(mesh.nodes, faces)
+    acc = np.zeros_like(mesh.nodes)
+    np.add.at(acc, faces.reshape(-1), np.repeat(normals * areas[:, None], 3, axis=0))
+    nrm = np.linalg.norm(acc, axis=1, keepdims=True)
+    node_normals = acc / np.maximum(nrm, 1e-300)
+
+    loss_mask = mesh.nodes[surf_nodes, 1] > 0.05 * span_m
+    return {
+        "node_id": surf_nodes.astype(np.int64),
+        "pos": mesh.nodes[surf_nodes].astype(np.float32),
+        "normal": node_normals[surf_nodes].astype(np.float32),
+        "stress_vm": sol.vm[surf_nodes].astype(np.float32),
+        "disp": sol.u[surf_nodes].astype(np.float32),
+        "loss_mask": loss_mask,
+    }

@@ -191,6 +191,11 @@ def nodes_from_params(basis, span_m, chord_m, sweep_deg, thickness_ratio):
     """
     import jax.numpy as jnp
 
+    dt = jnp.asarray(basis).dtype
+    span_m = jnp.asarray(span_m, dtype=dt)
+    chord_m = jnp.asarray(chord_m, dtype=dt)
+    sweep_deg = jnp.asarray(sweep_deg, dtype=dt)
+    thickness_ratio = jnp.asarray(thickness_ratio, dtype=dt)
     s, yfrac, zfrac, zbase = basis[:, 0], basis[:, 1], basis[:, 2], basis[:, 3]
     y = span_m * yfrac
     x = chord_m * s + jnp.tan(jnp.deg2rad(sweep_deg)) * y
