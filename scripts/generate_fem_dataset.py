@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Batch FEM solves — parity with reference scripts/generate_fem_dataset.py:40-143
+(reads success rows from mesh.csv, flags --E 69e9 --nu 0.33 --pressure 5e3,
+appends fem.csv + manifest fem_index) PLUS the TPU-native `--batched` mode:
+all cases solved in ONE vmapped jit call via the shared structured topology
+(BASELINE.json config 4), then artifacts written per case on the host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tpufem.fem import WingSolveConfig  # noqa: E402
+from tpufem.fem.driver import FemSolution, surface_results  # noqa: E402
+from tpufem.fem.material import Material  # noqa: E402
+from tpufem.pipeline.config import get_paths  # noqa: E402
+from tpufem.pipeline.fem_stage import _stats, run_fem_case  # noqa: E402
+from tpufem.pipeline.mesh_stage import load_mesh_npz  # noqa: E402
+from tpufem.pipeline.reports import (  # noqa: E402
+    append_csv,
+    append_manifest_index,
+    read_csv_rows,
+    update_manifest,
+    write_report,
+)
+from tpufem.pipeline.types import StepReport, WingParams  # noqa: E402
+
+
+def _load_params(paths, case_id: str) -> WingParams:
+    pf = json.loads((paths.geometry_case(case_id) / "params.json").read_text())
+    return WingParams(**pf["params"])
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_root", type=str, default=None)
+    ap.add_argument("--E", type=float, default=69e9)
+    ap.add_argument("--nu", type=float, default=0.33)
+    ap.add_argument("--pressure", type=float, default=5e3)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--maxiter", type=int, default=20000)
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--batched", action="store_true",
+                    help="solve all cases in one vmapped jit call (needs shared "
+                         "structured topology, i.e. all meshes at one resolution)")
+    ap.add_argument("--batch_size", type=int, default=0,
+                    help="chunk batched solve (0 = all at once)")
+    args = ap.parse_args(argv)
+
+    paths = get_paths(args.data_root).ensure()
+    material = Material(E=args.E, nu=args.nu)
+    rows = [r for r in read_csv_rows(paths.data / "mesh.csv") if r["status"] == "success"]
+    seen = set()
+    rows = [r for r in rows if not (r["case_id"] in seen or seen.add(r["case_id"]))]
+    if args.limit:
+        rows = rows[: args.limit]
+    case_ids = [r["case_id"] for r in rows]
+
+    t0 = time.time()
+    if args.batched:
+        reports = run_batched(paths, case_ids, args, material)
+    else:
+        reports = []
+        for i, cid in enumerate(case_ids, 1):
+            params = _load_params(paths, cid)
+            rep = run_fem_case(
+                params, cid, paths,
+                pressure=args.pressure, material=material,
+                solve_config=WingSolveConfig(
+                    pressure=args.pressure, material=material,
+                    tol=args.tol, maxiter=args.maxiter,
+                ),
+                force=args.force,
+            )
+            print(f"[{i}/{len(case_ids)}] {cid} {rep.status}"
+                  + (f" ({rep.failure_reason})" if rep.failure_reason else ""))
+            reports.append(rep)
+
+    n_ok = 0
+    entries = []
+    for rep in reports:
+        n_ok += rep.status == "success"
+        row = {
+            "case_id": rep.case_id,
+            "status": rep.status,
+            "pressure_pa": args.pressure,
+            "max_vm_mpa": rep.extra.get("stress_stats", {})
+            .get("masked_nodes", {})
+            .get("max", 0.0)
+            / 1e6,
+        }
+        append_csv(paths.data / "fem.csv", row)
+        entries.append(row)
+
+    update_manifest(
+        paths.manifest,
+        "fem_last_run",
+        {
+            "count": len(case_ids),
+            "success": n_ok,
+            "pressure_pa": args.pressure,
+            "batched": args.batched,
+            "elapsed_s": time.time() - t0,
+        },
+    )
+    append_manifest_index(paths.manifest, "fem_index", entries)
+    print(f"done: {n_ok}/{len(case_ids)} success in {time.time()-t0:.1f}s"
+          + (" (batched)" if args.batched else ""))
+    return 0 if n_ok == len(case_ids) else 1
+
+
+def run_batched(paths, case_ids, args, material) -> list[StepReport]:
+    """One (or a few chunked) vmapped jit calls for the whole dataset."""
+    from tpufem.fem.batched import WingBatchContext, solve_wing_batch
+    from tpufem.mesher import WingMeshResolution
+    from tpufem.sets import BoundarySets
+
+    if not case_ids:
+        return []
+    # all meshes must share one structured resolution
+    res_keys = set()
+    params_list = []
+    for cid in case_ids:
+        rep = json.loads((paths.mesh_case(cid) / "mesh_report.json").read_text())
+        res_keys.add(tuple(rep["extra"]["resolution"]))
+        params_list.append(_load_params(paths, cid))
+    if len(res_keys) != 1:
+        raise SystemExit(f"--batched needs a single shared resolution, got {res_keys}")
+    res = WingMeshResolution(*res_keys.pop())
+
+    ctx = None
+    reports = []
+    chunk = args.batch_size or len(case_ids)
+    for lo in range(0, len(case_ids), chunk):
+        ids = case_ids[lo : lo + chunk]
+        plist = params_list[lo : lo + chunk]
+        out, ctx = solve_wing_batch(
+            [p.as_dict() for p in plist], res,
+            pressure=args.pressure, material=material,
+            tol=args.tol, maxiter=args.maxiter, ctx=ctx,
+        )
+        nodes = np.asarray(out.nodes)
+        u = np.asarray(out.u)
+        s6 = np.asarray(out.stress6)
+        vm = np.asarray(out.vm)
+        rel = np.asarray(out.rel_residual)
+        conv = np.asarray(out.converged)
+        iters = np.asarray(out.iters)
+
+        for k, cid in enumerate(ids):
+            t_case = time.perf_counter()
+            case_dir = paths.fem_case(cid)
+            case_dir.mkdir(parents=True, exist_ok=True)
+            from tpufem.mesh_types import Mesh
+
+            mesh = Mesh(
+                nodes=nodes[k].astype(np.float64),
+                tets=np.asarray(ctx.tets),
+                surf_faces=ctx.surf_faces,
+            )
+            sol = FemSolution(
+                u=u[k], stress6=s6[k], vm=vm[k],
+                iters=int(iters[k]) if iters.ndim else int(iters),
+                rel_residual=float(rel[k]), converged=bool(conv[k]),
+            )
+            status, reason = "success", None
+            try:
+                if not sol.converged:
+                    raise ValueError(f"PCG not converged: rel_res {sol.rel_residual:.2e}")
+                if not np.isfinite(sol.u).all() or not np.isfinite(sol.vm).all():
+                    raise ValueError("nan/inf in solution")
+                surf = surface_results(mesh, ctx.sets, sol, span_m=plist[k].span_m)
+                np.savez_compressed(case_dir / "surface_results.npz", **surf)
+                masked = surf["stress_vm"][surf["loss_mask"]]
+                extra = {
+                    "pressure_pa": args.pressure,
+                    "batched": True,
+                    "solver": {
+                        "iters": sol.iters,
+                        "rel_residual": sol.rel_residual,
+                        "converged": sol.converged,
+                    },
+                    "stress_stats": {
+                        "all_nodes": _stats(surf["stress_vm"]),
+                        "masked_nodes": _stats(masked),
+                    },
+                }
+            except Exception as e:  # noqa: BLE001
+                status, reason = "failed", f"{type(e).__name__}: {e}"
+                extra = {"pressure_pa": args.pressure, "batched": True}
+            rep = StepReport(
+                case_id=cid, step="fem", status=status, failure_reason=reason,
+                elapsed_ms=(time.perf_counter() - t_case) * 1e3,
+                artifacts={"surface_results": str(case_dir / "surface_results.npz")},
+                extra=extra,
+            )
+            write_report(case_dir, rep)
+            reports.append(rep)
+            print(f"[batched] {cid} {status}" + (f" ({reason})" if reason else ""))
+    return reports
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

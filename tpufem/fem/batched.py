@@ -1,0 +1,135 @@
+"""Batched FEM dataset generation: vmapped assembly+PCG over wing cases.
+
+The reference generates its FEM dataset with one CalculiX subprocess per case,
+sequentially, "minutes per case" (scripts/generate_fem_dataset.py:91,
+README.md:34). tpufem exploits the structured mesher's fixed topology
+(tpufem.mesher: identical tets/faces/sets for every wing in the PRD box) to run
+the WHOLE dataset as one jit call:
+
+    params (B,4)  --nodes_from_params-->  nodes (B,N,3)
+                  --vmap(assemble + Jacobi-PCG + stress recovery)--> results
+
+No per-case padding, no host round-trips: geometry evaluation, stiffness setup,
+load vectors, the CG loop and von Mises recovery are all fused into a single
+XLA program (BASELINE.json config 4, the >=20x target).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.assembly import stiffness_diagonal, stiffness_operator
+from tpufem.fem.bc import dirichlet_mask
+from tpufem.fem.elements import tet4_setup
+from tpufem.fem.loads import pressure_loads
+from tpufem.fem.material import Material, lame_params
+from tpufem.fem.solver import pcg
+from tpufem.fem.vonmises import element_stress, nodal_stress, von_mises
+from tpufem.mesher import WingMeshResolution, nodes_from_params, wing_topology
+from tpufem.sets import build_boundary_sets
+from tpufem.mesher import structured_wing_mesh
+
+
+class BatchSolveResult(NamedTuple):
+    nodes: jnp.ndarray  # (B,N,3)
+    u: jnp.ndarray  # (B,N,3)
+    stress6: jnp.ndarray  # (B,N,6)
+    vm: jnp.ndarray  # (B,N)
+    iters: jnp.ndarray  # (B,) or scalar
+    rel_residual: jnp.ndarray  # (B,)
+    converged: jnp.ndarray  # (B,)
+
+
+class WingBatchContext:
+    """Host-side prep shared by every case at one resolution: topology arrays,
+    boundary sets (topology-invariant for the structured mesher), free mask."""
+
+    def __init__(self, res: WingMeshResolution, dtype=jnp.float32):
+        topo = wing_topology(res)
+        self.res = res
+        self.dtype = dtype
+        self.num_nodes = topo.num_nodes
+        self.node_basis = jnp.asarray(topo.node_basis, dtype=dtype)
+        self.tets = jnp.asarray(topo.tets)
+        # boundary sets from a representative geometry; indices are topological
+        # so they hold for every wing in the PRD box
+        ref_mesh = structured_wing_mesh(1.2, 0.35, 10.0, 0.10, res)
+        self.sets = build_boundary_sets(ref_mesh)
+        self.surf_faces = topo.surf_faces
+        self.upper_faces = jnp.asarray(topo.surf_faces[self.sets.surf_upper_faces])
+        self.free_mask = dirichlet_mask(self.num_nodes, self.sets.nroot_nodes, dtype=dtype)
+        self._jit_solve = jax.jit(self._solve_batch, static_argnames=("tol", "maxiter"))
+
+    def _solve_batch(self, params4, pressure, lam, mu, tol, maxiter):
+        def one(p):
+            nodes = nodes_from_params(self.node_basis, p[0], p[1], p[2], p[3])
+            u, s6, vm, iters, rel, conv = _solve_one(
+                nodes,
+                self.tets,
+                self.upper_faces,
+                self.free_mask,
+                pressure,
+                lam,
+                mu,
+                self.num_nodes,
+                tol,
+                maxiter,
+            )
+            return nodes, u, s6, vm, iters, rel, conv
+
+        nodes, u, s6, vm, iters, rel, conv = jax.vmap(one)(params4)
+        return BatchSolveResult(nodes, u, s6, vm, iters, rel, conv)
+
+    def solve(self, params4, pressure, lam, mu, tol=1e-6, maxiter=20000) -> BatchSolveResult:
+        """One jit call over (B,4) parameter rows (span, chord, sweep, t/c)."""
+        return self._jit_solve(params4, pressure, lam, mu, tol=tol, maxiter=maxiter)
+
+
+def _solve_one(nodes, tets, upper_faces, free_mask, pressure, lam, mu, num_nodes, tol, maxiter):
+    grads, vols = tet4_setup(nodes, tets)
+    f = pressure_loads(nodes, upper_faces, pressure, num_nodes)
+    b = f.reshape(-1) * free_mask
+    A = stiffness_operator(grads, vols, tets, lam, mu, num_nodes, free_mask)
+    diag = stiffness_diagonal(grads, vols, tets, lam, mu, num_nodes, free_mask)
+    res = pcg(A, b, diag, tol=tol, maxiter=maxiter)
+    u = (res.x * free_mask).reshape(-1, 3)
+    sigma_e = element_stress(grads, vols, tets, u, lam, mu)
+    s6 = nodal_stress(sigma_e, vols, tets, num_nodes)
+    vm = von_mises(s6)
+    return u, s6, vm, res.iters, res.rel_residual, res.converged
+
+
+def solve_wing_batch(
+    params_list: list[dict],
+    res: WingMeshResolution,
+    pressure: float = 5e3,
+    material: Material = Material(),
+    tol: float = 1e-6,
+    maxiter: int = 20000,
+    dtype=jnp.float32,
+    ctx: WingBatchContext | None = None,
+) -> tuple[BatchSolveResult, WingBatchContext]:
+    """Host-facing batched solve for a list of wing parameter dicts."""
+    ctx = ctx or WingBatchContext(res, dtype=dtype)
+    p4 = np.array(
+        [
+            [p["span_m"], p["chord_m"], p["sweep_deg"], p["thickness_ratio"]]
+            for p in params_list
+        ],
+        dtype=np.float32 if dtype == jnp.float32 else np.float64,
+    )
+    lam, mu = lame_params(material)
+    out = ctx.solve(
+        jnp.asarray(p4, dtype=dtype),
+        jnp.asarray(pressure, dtype=dtype),
+        jnp.asarray(lam, dtype=dtype),
+        jnp.asarray(mu, dtype=dtype),
+        tol=tol,
+        maxiter=maxiter,
+    )
+    return out, ctx

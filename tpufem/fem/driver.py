@@ -33,7 +33,10 @@ from tpufem.sets import BoundarySets, face_normals_areas
 class WingSolveConfig:
     pressure: float = 5e3  # Pa, reference default (generate_fem_dataset.py:43-47)
     material: Material = Material()
-    tol: float = 1e-8
+    # float32 PCG stalls around 1e-7 relative residual; 1e-6 is reliably
+    # reachable and leaves stress errors ~5 orders below the 0.79 MPa MAE scale.
+    # Use dtype=float64 + tol<=1e-10 on CPU for the <1e-6-vs-direct-solve tests.
+    tol: float = 1e-6
     maxiter: int = 20000
     dtype: Any = jnp.float32
 

@@ -1,0 +1,153 @@
+"""FEM stage driver — parity with reference fem.py:427-762 (`run_fem_case`).
+
+Artifacts in data/raw/fem/{case_id}/:
+  surface_results.npz  — node_id/pos/normal/stress_vm/disp/loss_mask
+                         (schema parity with fem.py:642-650)
+  wing_result.glb      — viridis-colored stress GLB
+  wing_result_arrows.glb — result + sampled pressure arrows
+  fem_report.json      — StepReport with solver info + all/masked percentile
+                         stress stats (fem.py:695-751)
+
+The solve itself is tpufem.fem.driver.solve_wing_case (JAX PCG on device)
+instead of the ccx subprocess + FRD parse.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from tpufem.fem import WingSolveConfig, solve_wing_case
+from tpufem.fem.driver import surface_results
+from tpufem.fem.material import Material
+from tpufem.pipeline.config import Paths
+from tpufem.pipeline.mesh_stage import load_mesh_npz
+from tpufem.pipeline.reports import timed, write_report
+from tpufem.pipeline.types import StepReport, WingParams
+from tpufem.sets import BoundarySets
+from tpufem.viz.arrows import make_pressure_arrows
+from tpufem.viz.glb import GLBMesh
+from tpufem.viz.results import surface_results_to_glb, surface_results_to_glb_with_extras
+
+
+def _stats(values: np.ndarray) -> dict:
+    """min/max/mean/std/p50/p95/p99 block (reference fem.py:724-743)."""
+    if len(values) == 0:
+        return {k: 0.0 for k in ("min", "max", "mean", "std", "p50", "p95", "p99")}
+    return {
+        "min": float(values.min()),
+        "max": float(values.max()),
+        "mean": float(values.mean()),
+        "std": float(values.std()),
+        "p50": float(np.percentile(values, 50)),
+        "p95": float(np.percentile(values, 95)),
+        "p99": float(np.percentile(values, 99)),
+    }
+
+
+def run_fem_case(
+    params: WingParams,
+    case_id: str,
+    paths: Paths,
+    pressure: float = 5e3,
+    material: Material = Material(),
+    solve_config: WingSolveConfig | None = None,
+    force: bool = False,
+    make_glb: bool = True,
+) -> StepReport:
+    mesh_dir = paths.mesh_case(case_id)
+    case_dir = paths.fem_case(case_id)
+    case_dir.mkdir(parents=True, exist_ok=True)
+    npz_path = case_dir / "surface_results.npz"
+    glb_path = case_dir / "wing_result.glb"
+    arrows_path = case_dir / "wing_result_arrows.glb"
+    extra: dict = {"pressure_pa": pressure, "E": material.E, "nu": material.nu}
+
+    with timed() as t:
+        try:
+            if npz_path.exists() and not force:
+                extra["cache_hit"] = True
+                status, reason = "success", None
+            else:
+                mesh = load_mesh_npz(mesh_dir / "mesh.npz")
+                sets_data = json.loads((mesh_dir / "boundary_sets.json").read_text())
+                bs = BoundarySets(
+                    nroot_nodes=np.asarray(sets_data["nroot_nodes"], dtype=np.int32),
+                    surf_all_faces=np.asarray(sets_data["surf_all_faces"], dtype=np.int32),
+                    surf_upper_faces=np.asarray(sets_data["surf_upper_faces"], dtype=np.int32),
+                    nz_min_used=sets_data["nz_min_used"],
+                    upper_area_ratio=sets_data["upper_area_ratio"],
+                )
+                if len(bs.nroot_nodes) == 0 or len(bs.surf_upper_faces) == 0:
+                    raise ValueError("empty NROOT or SURF_UPPER set")
+
+                cfg = solve_config or WingSolveConfig(pressure=pressure, material=material)
+                sol = solve_wing_case(mesh, bs, cfg)
+                if not np.isfinite(sol.u).all() or not np.isfinite(sol.vm).all():
+                    raise ValueError("nan/inf in solution")  # fem.py:620-631 parity
+                if not sol.converged:
+                    raise ValueError(
+                        f"PCG not converged: rel_res {sol.rel_residual:.2e} after {sol.iters} iters"
+                    )
+
+                surf = surface_results(mesh, bs, sol, span_m=params.span_m)
+                np.savez_compressed(npz_path, **surf)
+
+                if make_glb:
+                    faces_global = mesh.surf_faces[bs.surf_all_faces]
+                    vmin, vmax = surface_results_to_glb(glb_path, surf, faces_global)
+                    av, af = make_pressure_arrows(
+                        mesh.nodes, mesh.surf_faces[bs.surf_upper_faces], case_id
+                    )
+                    arrow_colors = np.tile(
+                        np.array([0.9, 0.45, 0.1, 1.0]), (len(av), 1)
+                    )
+                    surface_results_to_glb_with_extras(
+                        arrows_path,
+                        surf,
+                        faces_global,
+                        [GLBMesh(av, af, arrow_colors, name="pressure_arrows")],
+                        vmin=vmin,
+                        vmax=vmax,
+                    )
+                    extra["color_range"] = [vmin, vmax]
+
+                masked = surf["stress_vm"][surf["loss_mask"]]
+                extra["solver"] = {
+                    "iters": sol.iters,
+                    "rel_residual": sol.rel_residual,
+                    "converged": sol.converged,
+                }
+                extra["stress_stats"] = {
+                    "all_nodes": _stats(surf["stress_vm"]),
+                    "masked_nodes": _stats(masked),
+                }
+                extra["disp_stats"] = {
+                    "max_abs_mm": float(np.abs(surf["disp"]).max() * 1e3),
+                    "mean_z_mm": float(surf["disp"][:, 2].mean() * 1e3),
+                }
+                status, reason = "success", None
+        except Exception as e:  # noqa: BLE001
+            status, reason = "failed", f"{type(e).__name__}: {e}"
+
+    artifacts = {
+        k: str(p)
+        for k, p in {
+            "surface_results": npz_path,
+            "wing_result_glb": glb_path,
+            "wing_result_arrows_glb": arrows_path,
+        }.items()
+        if p.exists()
+    }
+    report = StepReport(
+        case_id=case_id,
+        step="fem",
+        status=status,
+        failure_reason=reason,
+        elapsed_ms=t["elapsed_ms"],
+        artifacts=artifacts,
+        extra=extra,
+    )
+    write_report(case_dir, report)
+    return report
