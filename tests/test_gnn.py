@@ -143,9 +143,12 @@ def test_metrics_pa_scale(graph):
 
 def test_trainer_overfits_tiny_dataset(tmp_path):
     """Training sanity: loss decreases by >10x overfitting two tiny graphs."""
-    graphs = [
+    raw = [
         build_graph(tiny_surface(seed=s), tiny_faces(seed=s), PARAMS) for s in range(2)
     ]
+    n_max = max(g.num_nodes for g in raw)
+    e_max = max(g.num_edges for g in raw)
+    graphs = [pad_graph(g, n_max, e_max) for g in raw]
     cfg = TrainConfig(
         lr=3e-3,
         batch_size=2,
@@ -174,7 +177,9 @@ def test_checkpoint_roundtrip(tmp_path, graph):
 
 
 def test_stack_graphs_shapes(graph):
-    padded = [pad_graph(graph, 64, 512) for _ in range(3)]
+    n_pad = graph.num_nodes + 24
+    e_pad = graph.num_edges + 100
+    padded = [pad_graph(graph, n_pad, e_pad) for _ in range(3)]
     b = stack_graphs(padded)
-    assert b.x.shape == (3, 64, 10)
-    assert b.edge_index.shape == (3, 2, 512)
+    assert b.x.shape == (3, n_pad, 10)
+    assert b.edge_index.shape == (3, 2, e_pad)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpufem.fem.assembly import stiffness_diagonal, stiffness_operator
+from tpufem.fem.assembly import stiffness_operator
 from tpufem.fem.bc import dirichlet_mask
 from tpufem.fem.elements import tet4_setup
 from tpufem.fem.loads import pressure_loads
@@ -63,24 +63,37 @@ class WingBatchContext:
         self.surf_faces = topo.surf_faces
         self.upper_faces = jnp.asarray(topo.surf_faces[self.sets.surf_upper_faces])
         self.free_mask = dirichlet_mask(self.num_nodes, self.sets.nroot_nodes, dtype=dtype)
+        from tpufem.fem.precond import build_line_plan, plan_device_arrays
+
+        self.line_plan = build_line_plan(topo)
+        self._plan_arrays = plan_device_arrays(self.line_plan)
         self._jit_solve = jax.jit(self._solve_batch, static_argnames=("tol", "maxiter"))
 
     def _solve_batch(self, params4, pressure, lam, mu, tol, maxiter):
+        from tpufem.fem.precond import line_blocks, make_line_preconditioner
+
         def one(p):
             nodes = nodes_from_params(self.node_basis, p[0], p[1], p[2], p[3])
-            u, s6, vm, iters, rel, conv = _solve_one(
-                nodes,
-                self.tets,
-                self.upper_faces,
-                self.free_mask,
-                pressure,
-                lam,
-                mu,
-                self.num_nodes,
-                tol,
-                maxiter,
+            grads, vols = tet4_setup(nodes, self.tets)
+            f = pressure_loads(nodes, self.upper_faces, pressure, self.num_nodes)
+            b = f.reshape(-1) * self.free_mask
+            A = stiffness_operator(
+                grads, vols, self.tets, lam, mu, self.num_nodes, self.free_mask
             )
-            return nodes, u, s6, vm, iters, rel, conv
+            Binv = line_blocks(
+                self._plan_arrays, grads, vols, lam, mu, self.free_mask,
+                S=self.line_plan.num_stations, K=self.line_plan.K,
+            )
+            M = make_line_preconditioner(
+                self._plan_arrays, Binv,
+                S=self.line_plan.num_stations, K=self.line_plan.K,
+            )
+            res = pcg(A, b, M=M, tol=tol, maxiter=maxiter)
+            u = (res.x * self.free_mask).reshape(-1, 3)
+            sigma_e = element_stress(grads, vols, self.tets, u, lam, mu)
+            s6 = nodal_stress(sigma_e, vols, self.tets, self.num_nodes)
+            vm = von_mises(s6)
+            return nodes, u, s6, vm, res.iters, res.rel_residual, res.converged
 
         nodes, u, s6, vm, iters, rel, conv = jax.vmap(one)(params4)
         return BatchSolveResult(nodes, u, s6, vm, iters, rel, conv)
@@ -88,20 +101,6 @@ class WingBatchContext:
     def solve(self, params4, pressure, lam, mu, tol=1e-6, maxiter=20000) -> BatchSolveResult:
         """One jit call over (B,4) parameter rows (span, chord, sweep, t/c)."""
         return self._jit_solve(params4, pressure, lam, mu, tol=tol, maxiter=maxiter)
-
-
-def _solve_one(nodes, tets, upper_faces, free_mask, pressure, lam, mu, num_nodes, tol, maxiter):
-    grads, vols = tet4_setup(nodes, tets)
-    f = pressure_loads(nodes, upper_faces, pressure, num_nodes)
-    b = f.reshape(-1) * free_mask
-    A = stiffness_operator(grads, vols, tets, lam, mu, num_nodes, free_mask)
-    diag = stiffness_diagonal(grads, vols, tets, lam, mu, num_nodes, free_mask)
-    res = pcg(A, b, diag, tol=tol, maxiter=maxiter)
-    u = (res.x * free_mask).reshape(-1, 3)
-    sigma_e = element_stress(grads, vols, tets, u, lam, mu)
-    s6 = nodal_stress(sigma_e, vols, tets, num_nodes)
-    vm = von_mises(s6)
-    return u, s6, vm, res.iters, res.rel_residual, res.converged
 
 
 def solve_wing_batch(

@@ -51,7 +51,10 @@ class FemSolution:
     converged: bool
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "tol", "maxiter"))
+@partial(
+    jax.jit,
+    static_argnames=("num_nodes", "tol", "maxiter", "num_stations", "slots_per_station"),
+)
 def solve_core(
     nodes,
     tets,
@@ -65,17 +68,33 @@ def solve_core(
     maxiter: int,
     tet_mask=None,
     face_mask=None,
+    line_plan=None,
+    num_stations: int = 0,
+    slots_per_station: int = 0,
 ):
     """Jitted single-case solve. All shapes static; padding via masks.
 
+    If `line_plan` (tpufem.fem.precond.plan_device_arrays) is given, PCG uses
+    the thickness-line block-Jacobi preconditioner — required for float32
+    convergence on the anisotropic wing meshes; plain Jacobi otherwise.
+
     Returns (u (N,3), stress6 (N,6), vm (N,), iters, rel_residual, converged).
     """
+    from tpufem.fem.precond import line_blocks, make_line_preconditioner
+
     grads, vols = tet4_setup(nodes, tets, tet_mask)
     f = pressure_loads(nodes, upper_faces, pressure, num_nodes, face_mask)
     b = (f.reshape(-1) * free_mask).astype(nodes.dtype)
     A = stiffness_operator(grads, vols, tets, lam, mu, num_nodes, free_mask)
-    diag = stiffness_diagonal(grads, vols, tets, lam, mu, num_nodes, free_mask)
-    res = pcg(A, b, diag, tol=tol, maxiter=maxiter)
+    if line_plan is not None:
+        Binv = line_blocks(
+            line_plan, grads, vols, lam, mu, free_mask, S=num_stations, K=slots_per_station
+        )
+        M = make_line_preconditioner(line_plan, Binv, S=num_stations, K=slots_per_station)
+        res = pcg(A, b, M=M, tol=tol, maxiter=maxiter)
+    else:
+        diag = stiffness_diagonal(grads, vols, tets, lam, mu, num_nodes, free_mask)
+        res = pcg(A, b, diag, tol=tol, maxiter=maxiter)
     u = (res.x * free_mask).reshape(-1, 3)
     sigma_e = element_stress(grads, vols, tets, u, lam, mu)
     s6 = nodal_stress(sigma_e, vols, tets, num_nodes)
@@ -83,16 +102,45 @@ def solve_core(
     return u, s6, vm, res.iters, res.rel_residual, res.converged
 
 
+def mesh_line_plan(mesh: Mesh):
+    """LinePrecondPlan from structured-mesh metadata, or None for unstructured."""
+    meta = mesh.meta or {}
+    if "station_id" not in meta:
+        return None
+    from tpufem.fem.precond import build_line_plan_arrays
+
+    return build_line_plan_arrays(
+        mesh.tets,
+        meta["station_id"],
+        meta["slot"],
+        int(meta["num_stations"]),
+        int(meta["slots_per_station"]),
+        mesh.num_nodes,
+    )
+
+
 def solve_wing_case(
     mesh: Mesh, sets: BoundarySets, config: WingSolveConfig = WingSolveConfig()
 ) -> FemSolution:
     """Host-facing single-case solve (prep on host, compute on device)."""
+    from tpufem.fem.precond import plan_device_arrays
+
     dt = config.dtype
     nodes = jnp.asarray(mesh.nodes, dtype=dt)
     tets = jnp.asarray(mesh.tets)
     upper = jnp.asarray(mesh.surf_faces[sets.surf_upper_faces])
     free = dirichlet_mask(mesh.num_nodes, sets.nroot_nodes, dtype=dt)
     lam, mu = lame_params(config.material)
+    plan = mesh_line_plan(mesh)
+    plan_kw = (
+        dict(
+            line_plan=plan_device_arrays(plan),
+            num_stations=plan.num_stations,
+            slots_per_station=plan.K,
+        )
+        if plan is not None
+        else {}
+    )
     u, s6, vm, iters, rel, conv = solve_core(
         nodes,
         tets,
@@ -104,6 +152,7 @@ def solve_wing_case(
         num_nodes=mesh.num_nodes,
         tol=config.tol,
         maxiter=config.maxiter,
+        **plan_kw,
     )
     return FemSolution(
         u=np.asarray(u),

@@ -1,0 +1,192 @@
+"""Thickness-line block-Jacobi preconditioner for the structured wing mesh.
+
+Why: the wing is a thin structure; a tensor-grid tet mesh has through-thickness
+cells orders of magnitude smaller than in-plane cells near the LE/TE, so the
+Jacobi-preconditioned stiffness has kappa ~ 1e7+ and float32 CG diverges
+(measured; SURVEY.md §7 hard part 2). The strong coupling is exactly along the
+thickness "lines" — each (chord, span) grid station's (n_thick+1) nodes. Solving
+those lines exactly (classic line relaxation for anisotropic problems) removes
+the anisotropy-driven part of the spectrum; the remaining in-plane conditioning
+is ordinary O(1/h^2).
+
+TPU mapping: the welded node numbering is station-major (tpufem.mesher), so the
+apply is   gather r -> (S, D) ; batched (S,D,D) matvec on the MXU ; scatter back
+— no irregular access beyond one take/put. Block assembly reuses the element
+gradients: only same-station node pairs contribute, enumerated once per topology
+on the host; per-case values are a fused gather + 3x3 outer products +
+segment_sum, all inside jit/vmap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.mesher import WingTopology
+
+
+@dataclass(frozen=True)
+class LinePrecondPlan:
+    """Topology-constant scatter plan (host-precomputed, hashable by identity)."""
+
+    pair_t: np.ndarray  # (P,) tet index of each same-station node pair
+    pair_a: np.ndarray  # (P,) local corner a in 0..3
+    pair_b: np.ndarray  # (P,) local corner b in 0..3
+    pair_seg: np.ndarray  # (P,) flat segment base: station*D*D + (3*slot_a)*D + 3*slot_b
+    station_nodes: np.ndarray  # (S, K) node id per slot (duplicated node 0 on empty slots)
+    slot_valid: np.ndarray  # (S, K) 1.0 where the slot holds a real node
+    node_station: np.ndarray  # (N,) station of each node
+    node_slot: np.ndarray  # (N,) slot of each node
+    num_stations: int
+    K: int  # slots per station
+    D: int  # block dim = 3*K
+
+
+def build_line_plan(topo: WingTopology) -> LinePrecondPlan:
+    return build_line_plan_arrays(
+        topo.tets, topo.station_id, topo.slot, topo.num_stations,
+        topo.slots_per_station, topo.num_nodes,
+    )
+
+
+def build_line_plan_arrays(
+    tets: np.ndarray,
+    station_id: np.ndarray,
+    slot: np.ndarray,
+    num_stations: int,
+    slots_per_station: int,
+    num_nodes: int,
+) -> LinePrecondPlan:
+    st = np.asarray(station_id)
+    sl = np.asarray(slot)
+    S = int(num_stations)
+    K = int(slots_per_station)
+    D = 3 * K
+
+    tets = np.asarray(tets).astype(np.int64)
+    cst = st[tets]  # (T,4)
+    csl = sl[tets]
+    ti, ai, bi = [], [], []
+    for a in range(4):
+        for b in range(4):
+            same = cst[:, a] == cst[:, b]
+            idx = np.nonzero(same)[0]
+            ti.append(idx)
+            ai.append(np.full(len(idx), a))
+            bi.append(np.full(len(idx), b))
+    pair_t = np.concatenate(ti)
+    pair_a = np.concatenate(ai)
+    pair_b = np.concatenate(bi)
+    st_p = cst[pair_t, pair_a]
+    sa = csl[pair_t, pair_a]
+    sb = csl[pair_t, pair_b]
+    pair_seg = st_p.astype(np.int64) * (D * D) + (3 * sa) * D + 3 * sb
+
+    station_nodes = np.zeros((S, K), dtype=np.int32)
+    slot_valid = np.zeros((S, K), dtype=np.float32)
+    station_nodes[st, sl] = np.arange(num_nodes, dtype=np.int32)
+    slot_valid[st, sl] = 1.0
+
+    return LinePrecondPlan(
+        pair_t=pair_t.astype(np.int32),
+        pair_a=pair_a.astype(np.int8),
+        pair_b=pair_b.astype(np.int8),
+        pair_seg=pair_seg,
+        station_nodes=station_nodes,
+        slot_valid=slot_valid,
+        node_station=st.astype(np.int32),
+        node_slot=sl.astype(np.int32),
+        num_stations=S,
+        K=K,
+        D=D,
+    )
+
+
+def plan_device_arrays(plan: LinePrecondPlan) -> dict:
+    """Plan as a jit-traceable pytree of index arrays."""
+    return {
+        "pair_t": jnp.asarray(plan.pair_t),
+        "pair_a": jnp.asarray(plan.pair_a.astype(np.int32)),
+        "pair_b": jnp.asarray(plan.pair_b.astype(np.int32)),
+        "pair_seg": jnp.asarray(plan.pair_seg),
+        "station_nodes": jnp.asarray(plan.station_nodes),
+        "slot_valid": jnp.asarray(plan.slot_valid),
+        "node_station": jnp.asarray(plan.node_station),
+        "node_slot": jnp.asarray(plan.node_slot),
+    }
+
+
+def line_blocks(plan, grads, vols, lam, mu, free_mask, S=None, K=None):
+    """Assemble and invert the per-station blocks -> (S, D, D) inverse factors.
+
+    K_{ai,bj} = V*(lam*g_ai*g_bj + mu*g_aj*g_bi + mu*delta_ij*(g_a.g_b)) for
+    same-station pairs; constrained/padded dofs replaced by identity rows so the
+    blocks stay SPD.
+
+    `plan` is a LinePrecondPlan or the dict from plan_device_arrays (then S, K
+    must be given).
+    """
+    if isinstance(plan, LinePrecondPlan):
+        S, K = plan.num_stations, plan.K
+        plan = plan_device_arrays(plan)
+    D = 3 * K
+    ga = grads[plan["pair_t"], plan["pair_a"]]  # (P,3)
+    gb = grads[plan["pair_t"], plan["pair_b"]]
+    v = vols[plan["pair_t"]]
+    eye = jnp.eye(3, dtype=grads.dtype)
+    kab = v[:, None, None] * (
+        lam * ga[:, :, None] * gb[:, None, :]
+        + mu * gb[:, :, None] * ga[:, None, :]
+        + mu * jnp.einsum("pk,pk->p", ga, gb)[:, None, None] * eye
+    )  # (P,3,3)
+
+    offs = jnp.arange(3)
+    seg = (
+        plan["pair_seg"][:, None, None]
+        + offs[None, :, None] * D
+        + offs[None, None, :]
+    ).reshape(-1)
+    flat = jax.ops.segment_sum(kab.reshape(-1), seg, num_segments=S * D * D)
+    B = flat.reshape(S, D, D)
+
+    # dof validity: slot present AND free
+    free3 = free_mask.reshape(-1, 3)
+    fm = free3[plan["station_nodes"]]  # (S,K,3)
+    fm = fm * plan["slot_valid"][:, :, None]
+    m = fm.reshape(S, D)
+    B = B * m[:, :, None] * m[:, None, :]
+    B = B + jnp.eye(D, dtype=B.dtype)[None] * (1.0 - m)[:, :, None]
+    # Symmetric Jacobi scaling before inversion: raw blocks inherit the mesh's
+    # anisotropic conditioning (diag spread ~1e6+), which float32 inversion
+    # cannot handle; the scaled blocks are O(1)-conditioned per dof.
+    d = jnp.einsum("sii->si", B)
+    s = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-30))
+    Bs = B * s[:, :, None] * s[:, None, :]
+    Bs_inv = jnp.linalg.inv(Bs)
+    # symmetrize against inversion round-off (PCG needs an SPD apply)
+    Bs_inv = 0.5 * (Bs_inv + jnp.swapaxes(Bs_inv, 1, 2))
+    Binv = Bs_inv * s[:, :, None] * s[:, None, :]
+    return Binv
+
+
+def make_line_preconditioner(plan, Binv, S=None, K=None):
+    """Return M(r_flat) -> z_flat applying the inverted station blocks."""
+    if isinstance(plan, LinePrecondPlan):
+        S, K = plan.num_stations, plan.K
+        plan = plan_device_arrays(plan)
+    D = 3 * K
+    station_nodes = plan["station_nodes"]
+    node_station = plan["node_station"]
+    node_slot = plan["node_slot"]
+
+    def M(r_flat):
+        r3 = r_flat.reshape(-1, 3)
+        rs = r3[station_nodes].reshape(S, D)  # gather lines
+        zs = jnp.einsum("sij,sj->si", Binv, rs)  # batched block solve
+        zs = zs.reshape(S, K, 3)
+        return zs[node_station, node_slot].reshape(-1)  # scatter back
+
+    return M

@@ -25,21 +25,27 @@ class PCGResult(NamedTuple):
 def pcg(
     A: Callable,
     b,
-    diag,
+    diag=None,
     x0=None,
     tol: float = 1e-8,
     maxiter: int = 2000,
     dot=jnp.vdot,
+    M: Callable | None = None,
 ) -> PCGResult:
-    """Solve A x = b with Jacobi preconditioner M = diag^-1.
+    """Solve A x = b, preconditioned.
 
+    Preconditioner: either `diag` (Jacobi, M = diag^-1) or an explicit SPD apply
+    `M(r) -> z` (e.g. the thickness-line block-Jacobi in tpufem.fem.precond,
+    which is what makes f32 CG converge on the anisotropic wing meshes).
     A must be SPD (the masked stiffness operator). Everything is traceable:
     no host synchronization inside the loop.
     """
-    inv_diag = 1.0 / diag
+    if M is None:
+        inv_diag = 1.0 / diag
+        M = lambda r: inv_diag * r  # noqa: E731
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x)
-    z = inv_diag * r
+    z = M(r)
     p = z
     rz = dot(r, z)
     b_norm = jnp.sqrt(dot(b, b))
@@ -56,7 +62,7 @@ def pcg(
         alpha = rz / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = inv_diag * r
+        z = M(r)
         rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
@@ -67,14 +73,16 @@ def pcg(
     return PCGResult(x=x, iters=k, rel_residual=rel, converged=rel <= tol)
 
 
-@partial(jax.jit, static_argnames=("A", "n_iters"))
-def pcg_fixed(A, b, diag, n_iters: int):
+@partial(jax.jit, static_argnames=("A", "n_iters", "M"))
+def pcg_fixed(A, b, diag=None, n_iters: int = 100, M=None):
     """Fixed-iteration PCG via lax.scan — deterministic work for benchmarking
     and for pipelined multi-case batches where early exit wins nothing."""
-    inv_diag = 1.0 / diag
+    if M is None:
+        inv_diag = 1.0 / diag
+        M = lambda r: inv_diag * r  # noqa: E731
     x = jnp.zeros_like(b)
     r = b
-    z = inv_diag * r
+    z = M(r)
     p = z
     rz = jnp.vdot(r, z)
 
@@ -84,7 +92,7 @@ def pcg_fixed(A, b, diag, n_iters: int):
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = inv_diag * r
+        z = M(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / rz
         p = z + beta * p

@@ -83,12 +83,21 @@ class WingTopology:
       x = chord*s + span*yfrac*tan(sweep)
       y = span*yfrac
       z = chord*thickness_ratio*zbase*zfrac      (zbase = half-thickness at t=1)
+
+    station_id/slot index the through-thickness "lines": station = (i, j) chord/
+    span grid column, slot = position along thickness. Node numbering is
+    station-major (all of a station's nodes contiguous), which the thickness-
+    line block-Jacobi preconditioner (tpufem.fem.precond) exploits.
     """
 
     tets: np.ndarray  # (T,4) int32, positively oriented for any PRD params
     surf_faces: np.ndarray  # (F,3) int32 outward-oriented
     node_basis: np.ndarray  # (N,4) float64
     num_nodes: int
+    station_id: np.ndarray  # (N,) int32: i*(n_span+1)+j
+    slot: np.ndarray  # (N,) int32: thickness index within the station
+    num_stations: int
+    slots_per_station: int  # n_thick + 1
 
 
 @lru_cache(maxsize=8)
@@ -146,6 +155,10 @@ def wing_topology(res: WingMeshResolution) -> WingTopology:
         surf_faces=surf.astype(np.int32),
         node_basis=node_basis,
         num_nodes=num_nodes,
+        station_id=(ri * NJ + rj).astype(np.int32),
+        slot=rk.astype(np.int32),
+        num_stations=NI * NJ,
+        slots_per_station=NK,
     )
 
 
@@ -226,6 +239,11 @@ def structured_wing_mesh(
             },
             "resolution": res.key,
             "source": "tpufem-structured",
+            # thickness-line structure for the block-Jacobi preconditioner
+            "station_id": topo.station_id,
+            "slot": topo.slot,
+            "num_stations": topo.num_stations,
+            "slots_per_station": topo.slots_per_station,
         },
     )
     return mesh

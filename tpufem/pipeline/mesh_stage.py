@@ -32,14 +32,32 @@ QUALITY_WARN_RATIO = 0.8
 
 
 def save_mesh_npz(path: Path, mesh: Mesh) -> None:
+    extra = {}
+    meta = mesh.meta or {}
+    if "station_id" in meta:  # thickness-line structure for the preconditioner
+        extra = {
+            "station_id": meta["station_id"],
+            "slot": meta["slot"],
+            "station_dims": np.array(
+                [meta["num_stations"], meta["slots_per_station"]], dtype=np.int64
+            ),
+        }
     np.savez_compressed(
-        path, nodes=mesh.nodes, tets=mesh.tets, surf_faces=mesh.surf_faces
+        path, nodes=mesh.nodes, tets=mesh.tets, surf_faces=mesh.surf_faces, **extra
     )
 
 
 def load_mesh_npz(path: Path) -> Mesh:
     z = np.load(path)
-    return Mesh(nodes=z["nodes"], tets=z["tets"], surf_faces=z["surf_faces"])
+    meta = {}
+    if "station_id" in z.files:
+        meta = {
+            "station_id": z["station_id"],
+            "slot": z["slot"],
+            "num_stations": int(z["station_dims"][0]),
+            "slots_per_station": int(z["station_dims"][1]),
+        }
+    return Mesh(nodes=z["nodes"], tets=z["tets"], surf_faces=z["surf_faces"], meta=meta)
 
 
 def run_mesh_case(

@@ -68,7 +68,12 @@ def make_pressure_arrows(
     length_scale: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(vertices, faces) of merged arrow glyphs above sampled upper faces."""
-    rng = np.random.default_rng(int(case_id[:8], 16) if case_id else 0)
+    # seed from the case id (reference seeds from the hex hash, fem.py:663-667;
+    # tpufem ids may be sequential "001" or names, so hash the string instead)
+    import hashlib
+
+    seed = int(hashlib.sha256(case_id.encode()).hexdigest()[:8], 16) if case_id else 0
+    rng = np.random.default_rng(seed)
     n_faces = len(upper_faces)
     sel = (
         rng.choice(n_faces, size=max_arrows, replace=False)
