@@ -249,6 +249,23 @@ def test_wing_solve_matches_direct_solve(wing_case):
     assert vm_err < 1e-6
 
 
+def test_f32_refined_solve_meets_criterion():
+    """Mixed-precision refinement: f32 compute + f64 residuals reaches the
+    <1e-6 criterion without an f64 CG (the TPU production path)."""
+    m = structured_wing_mesh(1.2, 0.35, 15.0, 0.10, COARSE)
+    bs = build_boundary_sets(m)
+    cfg = WingSolveConfig(
+        pressure=5000.0, dtype=jnp.float32, tol=1e-6, maxiter=10000, refine_steps=2
+    )
+    sol = solve_wing_case(m, bs, cfg)
+    assert sol.converged
+    u_ref, _, vm_ref = direct_solve(m, bs, pressure=5000.0)
+    u_err = np.linalg.norm(sol.u - u_ref) / np.linalg.norm(u_ref)
+    vm_err = np.abs(sol.vm - vm_ref).max() / vm_ref.max()
+    assert u_err < 1e-6, u_err
+    assert vm_err < 1e-5, vm_err  # f32 output storage bounds pointwise vm
+
+
 def test_wing_solve_physics(wing_case):
     """Spec validation-case expectations (reference docs/spec.md:309-353):
     downward -Z deflection under upper pressure, root stress concentration

@@ -24,14 +24,18 @@ def elastic_force(grads, vols, tets, u_nodes, lam, mu, num_nodes):
     Returns (N,3) nodal forces.
     """
     ue = u_nodes[tets]  # (T,4,3) gather
-    H = jnp.einsum("tai,taj->tij", grads, ue)  # displacement gradient
+    # precision='highest': TPU f32 contractions default to bf16 multiplies,
+    # which perturbs the operator by ~1e-2 relative and stalls/derails CG.
+    H = jnp.einsum("tai,taj->tij", grads, ue, precision="highest")
     eps = 0.5 * (H + jnp.swapaxes(H, 1, 2))
     tr = eps[:, 0, 0] + eps[:, 1, 1] + eps[:, 2, 2]
     sigma = 2.0 * mu * eps
     sigma = sigma.at[:, 0, 0].add(lam * tr)
     sigma = sigma.at[:, 1, 1].add(lam * tr)
     sigma = sigma.at[:, 2, 2].add(lam * tr)
-    fe = vols[:, None, None] * jnp.einsum("tij,taj->tai", sigma, grads)  # (T,4,3)
+    fe = vols[:, None, None] * jnp.einsum(
+        "tij,taj->tai", sigma, grads, precision="highest"
+    )  # (T,4,3)
     return jax.ops.segment_sum(
         fe.reshape(-1, 3), tets.reshape(-1), num_segments=num_nodes
     )

@@ -34,11 +34,15 @@ class WingSolveConfig:
     pressure: float = 5e3  # Pa, reference default (generate_fem_dataset.py:43-47)
     material: Material = Material()
     # float32 PCG stalls around 1e-7 relative residual; 1e-6 is reliably
-    # reachable and leaves stress errors ~5 orders below the 0.79 MPa MAE scale.
-    # Use dtype=float64 + tol<=1e-10 on CPU for the <1e-6-vs-direct-solve tests.
+    # reachable. The remaining f32 true-error floor is ~8 kPa mean von Mises
+    # noise (MPa-scale only at the near-zero-stress TE wedge) — far below the
+    # 0.79 MPa MAE scale. For reference-grade ground truth set refine_steps>=1
+    # (mixed-precision iterative refinement: f64 residual + f32 correction
+    # solve; requires jax_enable_x64) or dtype=float64.
     tol: float = 1e-6
     maxiter: int = 20000
     dtype: Any = jnp.float32
+    refine_steps: int = 0
 
 
 @dataclass
@@ -53,7 +57,14 @@ class FemSolution:
 
 @partial(
     jax.jit,
-    static_argnames=("num_nodes", "tol", "maxiter", "num_stations", "slots_per_station"),
+    static_argnames=(
+        "num_nodes",
+        "tol",
+        "maxiter",
+        "num_stations",
+        "slots_per_station",
+        "refine_steps",
+    ),
 )
 def solve_core(
     nodes,
@@ -71,6 +82,7 @@ def solve_core(
     line_plan=None,
     num_stations: int = 0,
     slots_per_station: int = 0,
+    refine_steps: int = 0,
 ):
     """Jitted single-case solve. All shapes static; padding via masks.
 
@@ -78,28 +90,79 @@ def solve_core(
     the thickness-line block-Jacobi preconditioner — required for float32
     convergence on the anisotropic wing meshes; plain Jacobi otherwise.
 
+    refine_steps > 0 enables mixed-precision iterative refinement: the
+    residual of the f32 solution is evaluated with an f64 operator and a
+    cheap f32 correction solve is added, pushing the true error well below
+    the plain f32 floor. Requires jax_enable_x64; the f64 work is one
+    operator application per step (emulated f64 on TPU, negligible next to
+    the CG iterations). Stress is then recovered in f64.
+
     Returns (u (N,3), stress6 (N,6), vm (N,), iters, rel_residual, converged).
     """
     from tpufem.fem.precond import line_blocks, make_line_preconditioner
 
+    work_dt = nodes.dtype
     grads, vols = tet4_setup(nodes, tets, tet_mask)
     f = pressure_loads(nodes, upper_faces, pressure, num_nodes, face_mask)
-    b = (f.reshape(-1) * free_mask).astype(nodes.dtype)
+    b = (f.reshape(-1) * free_mask).astype(work_dt)
     A = stiffness_operator(grads, vols, tets, lam, mu, num_nodes, free_mask)
     if line_plan is not None:
         Binv = line_blocks(
             line_plan, grads, vols, lam, mu, free_mask, S=num_stations, K=slots_per_station
         )
         M = make_line_preconditioner(line_plan, Binv, S=num_stations, K=slots_per_station)
-        res = pcg(A, b, M=M, tol=tol, maxiter=maxiter)
+        solve = lambda rhs: pcg(A, rhs, M=M, tol=tol, maxiter=maxiter)  # noqa: E731
     else:
         diag = stiffness_diagonal(grads, vols, tets, lam, mu, num_nodes, free_mask)
-        res = pcg(A, b, diag, tol=tol, maxiter=maxiter)
-    u = (res.x * free_mask).reshape(-1, 3)
+        solve = lambda rhs: pcg(A, rhs, diag, tol=tol, maxiter=maxiter)  # noqa: E731
+
+    res = solve(b)
+    iters = res.iters
+    x = res.x
+
+    if refine_steps > 0:
+        f64 = jnp.float64
+        nodes64 = nodes.astype(f64)
+        free64 = free_mask.astype(f64)
+        grads64, vols64 = tet4_setup(nodes64, tets, tet_mask)
+        f64v = pressure_loads(nodes64, upper_faces, pressure.astype(f64), num_nodes, face_mask)
+        b64 = (f64v.reshape(-1) * free64)
+        A64 = stiffness_operator(
+            grads64, vols64, tets, lam.astype(f64), mu.astype(f64), num_nodes, free64
+        )
+        x64 = x.astype(f64)
+        converged = res.converged
+        for _ in range(refine_steps):
+            r64 = b64 - A64(x64)
+            rnorm = jnp.sqrt(jnp.vdot(r64, r64))
+            safe = jnp.where(rnorm > 0, rnorm, 1.0)
+            corr = solve((r64 / safe).astype(work_dt))
+            x64 = x64 + corr.x.astype(f64) * safe
+            iters = iters + corr.iters
+            converged = converged & corr.converged
+        u = (x64 * free64).reshape(-1, 3)
+        # report the TRUE f64 residual; note it sits at ~kappa*err, so
+        # convergence is judged by the inner solves, not rel <= tol
+        r64 = b64 - A64(x64.reshape(-1))
+        bnorm = jnp.sqrt(jnp.vdot(b64, b64))
+        rel = jnp.sqrt(jnp.vdot(r64, r64)) / jnp.where(bnorm > 0, bnorm, 1.0)
+        sigma_e = element_stress(grads64, vols64, tets, u, lam.astype(f64), mu.astype(f64))
+        s6 = nodal_stress(sigma_e, vols64, tets, num_nodes)
+        vm = von_mises(s6)
+        return (
+            u.astype(work_dt),
+            s6.astype(work_dt),
+            vm.astype(work_dt),
+            iters,
+            rel.astype(work_dt),
+            converged,
+        )
+
+    u = (x * free_mask).reshape(-1, 3)
     sigma_e = element_stress(grads, vols, tets, u, lam, mu)
     s6 = nodal_stress(sigma_e, vols, tets, num_nodes)
     vm = von_mises(s6)
-    return u, s6, vm, res.iters, res.rel_residual, res.converged
+    return u, s6, vm, iters, res.rel_residual, res.converged
 
 
 def mesh_line_plan(mesh: Mesh):
@@ -152,6 +215,7 @@ def solve_wing_case(
         num_nodes=mesh.num_nodes,
         tol=config.tol,
         maxiter=config.maxiter,
+        refine_steps=config.refine_steps,
         **plan_kw,
     )
     return FemSolution(
