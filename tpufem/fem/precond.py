@@ -67,11 +67,12 @@ def build_line_plan_arrays(
     D = 3 * K
 
     tets = np.asarray(tets).astype(np.int64)
-    cst = st[tets]  # (T,4)
+    n_corners = tets.shape[1]  # 4 for tet4, 10 for tet10
+    cst = st[tets]  # (T, n_corners)
     csl = sl[tets]
     ti, ai, bi = [], [], []
-    for a in range(4):
-        for b in range(4):
+    for a in range(n_corners):
+        for b in range(n_corners):
             same = cst[:, a] == cst[:, b]
             idx = np.nonzero(same)[0]
             ti.append(idx)
@@ -132,7 +133,6 @@ def line_blocks(plan, grads, vols, lam, mu, free_mask, S=None, K=None):
     if isinstance(plan, LinePrecondPlan):
         S, K = plan.num_stations, plan.K
         plan = plan_device_arrays(plan)
-    D = 3 * K
     ga = grads[plan["pair_t"], plan["pair_a"]]  # (P,3)
     gb = grads[plan["pair_t"], plan["pair_b"]]
     v = vols[plan["pair_t"]]
@@ -142,7 +142,14 @@ def line_blocks(plan, grads, vols, lam, mu, free_mask, S=None, K=None):
         + mu * gb[:, :, None] * ga[:, None, :]
         + mu * jnp.einsum("pk,pk->p", ga, gb, precision="highest")[:, None, None] * eye
     )  # (P,3,3)
+    return line_blocks_from_pairs(kab, plan, free_mask, S, K)
 
+
+def line_blocks_from_pairs(kab, plan, free_mask, S, K):
+    """Scatter precomputed (P,3,3) same-station pair blocks into per-station
+    matrices, apply BC masking, scale, invert. Shared by the tet4 path
+    (line_blocks) and the tet10 path (tet10_pair_values)."""
+    D = 3 * K
     offs = jnp.arange(3)
     seg = (
         plan["pair_seg"][:, None, None]

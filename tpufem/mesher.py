@@ -244,6 +244,7 @@ def structured_wing_mesh(
             "slot": topo.slot,
             "num_stations": topo.num_stations,
             "slots_per_station": topo.slots_per_station,
+            "num_span_stations": res.n_span + 1,  # NJ in station = i*NJ+j
         },
     )
     return mesh
