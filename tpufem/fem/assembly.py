@@ -14,7 +14,41 @@ import jax
 import jax.numpy as jnp
 
 
-def elastic_force(grads, vols, tets, u_nodes, lam, mu, num_nodes):
+def build_incidence(tets: "np.ndarray", num_nodes: int):
+    """Scatter-free assembly plan: for each node, the (tet*4+corner) positions
+    that accumulate into it, padded to the max valence.
+
+    XLA:TPU scatter (segment_sum) serializes on duplicate indices; re-expressing
+    the accumulation as a dense masked gather-sum is measurably faster and
+    vmap-friendlier (measured: 56 vs 85 ms for an 8-case vmapped SpMV at
+    181k tets). Built once per topology, vectorized via argsort.
+
+    Returns (incidence (N, V) int32, mask (N, V) float32).
+    """
+    import numpy as np
+
+    flat = np.asarray(tets).reshape(-1).astype(np.int64)
+    order = np.argsort(flat, kind="stable")
+    sorted_nodes = flat[order]
+    counts = np.bincount(flat, minlength=num_nodes)
+    V = int(counts.max())
+    starts = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    # rank of each sorted entry within its node group
+    rank = np.arange(len(flat)) - starts[sorted_nodes]
+    inc = np.zeros((num_nodes, V), dtype=np.int32)
+    mask = np.zeros((num_nodes, V), dtype=np.float32)
+    inc[sorted_nodes, rank] = order.astype(np.int32)
+    mask[sorted_nodes, rank] = 1.0
+    return inc, mask
+
+
+def gather_accumulate(fe_flat, incidence, inc_mask):
+    """sum contributions per node: (T*4, C) -> (N, C) via masked gather."""
+    return (fe_flat[incidence] * inc_mask[..., None]).sum(axis=1)
+
+
+def elastic_force(grads, vols, tets, u_nodes, lam, mu, num_nodes, incidence=None, inc_mask=None):
     """y = K @ u in nodal (N,3) layout.
 
     Args:
@@ -36,12 +70,16 @@ def elastic_force(grads, vols, tets, u_nodes, lam, mu, num_nodes):
     fe = vols[:, None, None] * jnp.einsum(
         "tij,taj->tai", sigma, grads, precision="highest"
     )  # (T,4,3)
+    if incidence is not None:
+        return gather_accumulate(fe.reshape(-1, 3), incidence, inc_mask)
     return jax.ops.segment_sum(
         fe.reshape(-1, 3), tets.reshape(-1), num_segments=num_nodes
     )
 
 
-def stiffness_operator(grads, vols, tets, lam, mu, num_nodes, free_mask):
+def stiffness_operator(
+    grads, vols, tets, lam, mu, num_nodes, free_mask, incidence=None, inc_mask=None
+):
     """Return A(x) for the BC-reduced SPD system in flat (N*3,) layout.
 
     Dirichlet elimination by masking (SURVEY.md §7 hard part 5: per-case NROOT
@@ -52,7 +90,7 @@ def stiffness_operator(grads, vols, tets, lam, mu, num_nodes, free_mask):
 
     def apply(x_flat):
         u = x_flat.reshape(-1, 3) * free3
-        y = elastic_force(grads, vols, tets, u, lam, mu, num_nodes)
+        y = elastic_force(grads, vols, tets, u, lam, mu, num_nodes, incidence, inc_mask)
         y = y * free3 + x_flat.reshape(-1, 3) * (1.0 - free3)
         return y.reshape(-1)
 

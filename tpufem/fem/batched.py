@@ -63,44 +63,83 @@ class WingBatchContext:
         self.surf_faces = topo.surf_faces
         self.upper_faces = jnp.asarray(topo.surf_faces[self.sets.surf_upper_faces])
         self.free_mask = dirichlet_mask(self.num_nodes, self.sets.nroot_nodes, dtype=dtype)
+        from tpufem.fem.assembly import build_incidence
         from tpufem.fem.precond import build_line_plan, plan_device_arrays
 
+        inc, inc_mask = build_incidence(topo.tets, self.num_nodes)
+        self.incidence = jnp.asarray(inc)
+        self.inc_mask = jnp.asarray(inc_mask, dtype=dtype)
         self.line_plan = build_line_plan(topo)
         self._plan_arrays = plan_device_arrays(self.line_plan)
-        self._jit_solve = jax.jit(self._solve_batch, static_argnames=("tol", "maxiter"))
+        self._jit_chunk = jax.jit(self._cg_chunk, static_argnames=("tol", "maxiter"))
+        self._jit_recover = jax.jit(self._recover)
 
-    def _solve_batch(self, params4, pressure, lam, mu, tol, maxiter):
+    def _case_system(self, p, pressure, lam, mu):
         from tpufem.fem.precond import line_blocks, make_line_preconditioner
 
-        def one(p):
-            nodes = nodes_from_params(self.node_basis, p[0], p[1], p[2], p[3])
-            grads, vols = tet4_setup(nodes, self.tets)
-            f = pressure_loads(nodes, self.upper_faces, pressure, self.num_nodes)
-            b = f.reshape(-1) * self.free_mask
-            A = stiffness_operator(
-                grads, vols, self.tets, lam, mu, self.num_nodes, self.free_mask
-            )
-            Binv = line_blocks(
-                self._plan_arrays, grads, vols, lam, mu, self.free_mask,
-                S=self.line_plan.num_stations, K=self.line_plan.K,
-            )
-            M = make_line_preconditioner(
-                self._plan_arrays, Binv,
-                S=self.line_plan.num_stations, K=self.line_plan.K,
-            )
-            res = pcg(A, b, M=M, tol=tol, maxiter=maxiter)
-            u = (res.x * self.free_mask).reshape(-1, 3)
+        nodes = nodes_from_params(self.node_basis, p[0], p[1], p[2], p[3])
+        grads, vols = tet4_setup(nodes, self.tets)
+        f = pressure_loads(nodes, self.upper_faces, pressure, self.num_nodes)
+        b = f.reshape(-1) * self.free_mask
+        A = stiffness_operator(
+            grads, vols, self.tets, lam, mu, self.num_nodes, self.free_mask,
+            incidence=self.incidence, inc_mask=self.inc_mask,
+        )
+        Binv = line_blocks(
+            self._plan_arrays, grads, vols, lam, mu, self.free_mask,
+            S=self.line_plan.num_stations, K=self.line_plan.K,
+        )
+        M = make_line_preconditioner(
+            self._plan_arrays, Binv,
+            S=self.line_plan.num_stations, K=self.line_plan.K,
+        )
+        return nodes, grads, vols, b, A, M
+
+    def _cg_chunk(self, params4, pressure, lam, mu, x0, tol, maxiter):
+        def one(p, x0_i):
+            _, _, _, b, A, M = self._case_system(p, pressure, lam, mu)
+            res = pcg(A, b, M=M, x0=x0_i, tol=tol, maxiter=maxiter)
+            return res.x, res.iters, res.rel_residual, res.converged
+
+        return jax.vmap(one)(params4, x0)
+
+    def _recover(self, params4, pressure, lam, mu, x):
+        def one(p, x_i):
+            nodes, grads, vols, _, _, _ = self._case_system(p, pressure, lam, mu)
+            u = (x_i * self.free_mask).reshape(-1, 3)
             sigma_e = element_stress(grads, vols, self.tets, u, lam, mu)
             s6 = nodal_stress(sigma_e, vols, self.tets, self.num_nodes)
-            vm = von_mises(s6)
-            return nodes, u, s6, vm, res.iters, res.rel_residual, res.converged
+            return nodes, u, s6, von_mises(s6)
 
-        nodes, u, s6, vm, iters, rel, conv = jax.vmap(one)(params4)
-        return BatchSolveResult(nodes, u, s6, vm, iters, rel, conv)
+        return jax.vmap(one)(params4, x)
 
-    def solve(self, params4, pressure, lam, mu, tol=1e-6, maxiter=20000) -> BatchSolveResult:
-        """One jit call over (B,4) parameter rows (span, chord, sweep, t/c)."""
-        return self._jit_solve(params4, pressure, lam, mu, tol=tol, maxiter=maxiter)
+    def solve(
+        self, params4, pressure, lam, mu, tol=1e-6, maxiter=20000, chunk_iters=1000
+    ) -> BatchSolveResult:
+        """Batched solve over (B,4) parameter rows (span, chord, sweep, t/c).
+
+        The CG loop runs in host-bounded chunks of `chunk_iters` dispatches
+        (vmapped across the whole batch inside each dispatch); the while_loop
+        inside a chunk exits early once every lane converges."""
+        B = params4.shape[0]
+        x = jnp.zeros((B, self.num_nodes * 3), dtype=self.dtype)
+        total = jnp.zeros((B,), dtype=jnp.int32)
+        rel = None
+        conv = None
+        done = 0
+        maxiter = int(maxiter)
+        chunk_iters = int(chunk_iters) if chunk_iters else maxiter
+        while done < maxiter:
+            step = min(chunk_iters, maxiter - done)
+            x, it, rel, conv = self._jit_chunk(
+                params4, pressure, lam, mu, x, tol=tol, maxiter=step
+            )
+            total = total + it
+            done += step
+            if bool(jnp.all(conv)):
+                break
+        nodes, u, s6, vm = self._jit_recover(params4, pressure, lam, mu, x)
+        return BatchSolveResult(nodes, u, s6, vm, total, rel, conv)
 
 
 def solve_wing_batch(

@@ -43,6 +43,11 @@ class WingSolveConfig:
     maxiter: int = 20000
     dtype: Any = jnp.float32
     refine_steps: int = 0
+    # Split the CG loop into host-controlled chunks of at most this many
+    # iterations per device dispatch. The axon-tunneled TPU kills workers on
+    # very long single dispatches; chunking also gives preemption points for
+    # production serving. 0 = single dispatch.
+    chunk_iters: int = 0
 
 
 @dataclass
@@ -165,6 +170,74 @@ def solve_core(
     return u, s6, vm, iters, res.rel_residual, res.converged
 
 
+@partial(
+    jax.jit,
+    static_argnames=("num_nodes", "tol", "maxiter", "num_stations", "slots_per_station"),
+)
+def cg_chunk_core(
+    nodes,
+    tets,
+    upper_faces,
+    free_mask,
+    pressure,
+    lam,
+    mu,
+    x0,
+    num_nodes: int,
+    tol: float,
+    maxiter: int,
+    rhs=None,
+    line_plan=None,
+    num_stations: int = 0,
+    slots_per_station: int = 0,
+):
+    """One bounded CG dispatch: setup + at most `maxiter` iterations from x0.
+
+    Returns (x, iters, rel, converged). rhs overrides the pressure load vector
+    (used by iterative-refinement correction solves).
+    """
+    from tpufem.fem.precond import line_blocks, make_line_preconditioner
+
+    grads, vols = tet4_setup(nodes, tets)
+    if rhs is None:
+        f = pressure_loads(nodes, upper_faces, pressure, num_nodes)
+        b = (f.reshape(-1) * free_mask).astype(nodes.dtype)
+    else:
+        b = (rhs * free_mask).astype(nodes.dtype)
+    A = stiffness_operator(grads, vols, tets, lam, mu, num_nodes, free_mask)
+    if line_plan is not None:
+        Binv = line_blocks(
+            line_plan, grads, vols, lam, mu, free_mask, S=num_stations, K=slots_per_station
+        )
+        M = make_line_preconditioner(line_plan, Binv, S=num_stations, K=slots_per_station)
+        res = pcg(A, b, M=M, x0=x0, tol=tol, maxiter=maxiter)
+    else:
+        diag = stiffness_diagonal(grads, vols, tets, lam, mu, num_nodes, free_mask)
+        res = pcg(A, b, diag, x0=x0, tol=tol, maxiter=maxiter)
+    return res.x, res.iters, res.rel_residual, res.converged
+
+
+@partial(jax.jit, static_argnames=("num_nodes",))
+def recover_core(nodes, tets, u_flat, free_mask, lam, mu, num_nodes: int):
+    u = (u_flat * free_mask).reshape(-1, 3)
+    grads, vols = tet4_setup(nodes, tets)
+    sigma_e = element_stress(grads, vols, tets, u, lam, mu)
+    s6 = nodal_stress(sigma_e, vols, tets, num_nodes)
+    return u, s6, von_mises(s6)
+
+
+@partial(jax.jit, static_argnames=("num_nodes",))
+def residual64_core(nodes64, tets, upper_faces, free64, pressure64, lam64, mu64, x64, num_nodes: int):
+    """True f64 residual b - K x for iterative refinement."""
+    grads, vols = tet4_setup(nodes64, tets)
+    f = pressure_loads(nodes64, upper_faces, pressure64, num_nodes)
+    b = f.reshape(-1) * free64
+    A = stiffness_operator(grads, vols, tets, lam64, mu64, num_nodes, free64)
+    r = b - A(x64)
+    bnorm = jnp.sqrt(jnp.vdot(b, b))
+    return r, jnp.sqrt(jnp.vdot(r, r)) / jnp.where(bnorm > 0, bnorm, 1.0)
+
+
 def mesh_line_plan(mesh: Mesh):
     """LinePrecondPlan from structured-mesh metadata, or None for unstructured."""
     meta = mesh.meta or {}
@@ -187,6 +260,9 @@ def solve_wing_case(
 ) -> FemSolution:
     """Host-facing single-case solve (prep on host, compute on device)."""
     from tpufem.fem.precond import plan_device_arrays
+
+    if config.chunk_iters > 0:
+        return _solve_wing_case_chunked(mesh, sets, config)
 
     dt = config.dtype
     nodes = jnp.asarray(mesh.nodes, dtype=dt)
@@ -225,6 +301,94 @@ def solve_wing_case(
         iters=int(iters),
         rel_residual=float(rel),
         converged=bool(conv),
+    )
+
+
+def _solve_wing_case_chunked(mesh: Mesh, sets: BoundarySets, config: WingSolveConfig) -> FemSolution:
+    """Host-orchestrated solve in bounded device dispatches (chunked CG +
+    host-side iterative refinement)."""
+    from tpufem.fem.precond import plan_device_arrays
+
+    dt = config.dtype
+    nodes = jnp.asarray(mesh.nodes, dtype=dt)
+    tets = jnp.asarray(mesh.tets)
+    upper = jnp.asarray(mesh.surf_faces[sets.surf_upper_faces])
+    free = dirichlet_mask(mesh.num_nodes, sets.nroot_nodes, dtype=dt)
+    lam, mu = lame_params(config.material)
+    plan = mesh_line_plan(mesh)
+    plan_kw = (
+        dict(
+            line_plan=plan_device_arrays(plan),
+            num_stations=plan.num_stations,
+            slots_per_station=plan.K,
+        )
+        if plan is not None
+        else {}
+    )
+    pressure = jnp.asarray(config.pressure, dtype=dt)
+    lam_d = jnp.asarray(lam, dtype=dt)
+    mu_d = jnp.asarray(mu, dtype=dt)
+    n3 = mesh.num_nodes * 3
+
+    def run_cg(rhs, tol):
+        x = jnp.zeros(n3, dtype=dt)
+        total = 0
+        conv = False
+        rel = np.inf
+        while total < config.maxiter:
+            step = min(config.chunk_iters, config.maxiter - total)
+            x, it, rel, conv = cg_chunk_core(
+                nodes, tets, upper, free, pressure, lam_d, mu_d, x,
+                num_nodes=mesh.num_nodes, tol=tol, maxiter=step,
+                rhs=rhs, **plan_kw,
+            )
+            total += int(it)
+            if bool(conv) or int(it) < step:
+                break
+        return x, total, float(rel), bool(conv)
+
+    x, iters, rel, conv = run_cg(None, config.tol)
+
+    if config.refine_steps > 0:
+        f64 = jnp.float64
+        nodes64 = jnp.asarray(mesh.nodes, dtype=f64)
+        free64 = free.astype(f64)
+        x64 = x.astype(f64)
+        for _ in range(config.refine_steps):
+            r64, rel = residual64_core(
+                nodes64, tets, upper, free64,
+                jnp.asarray(config.pressure, f64),
+                jnp.asarray(lam, f64), jnp.asarray(mu, f64),
+                x64, num_nodes=mesh.num_nodes,
+            )
+            rnorm = float(jnp.sqrt(jnp.vdot(r64, r64)))
+            if rnorm == 0.0:
+                break
+            corr, it, _, c_conv = run_cg((r64 / rnorm).astype(dt), config.tol)
+            x64 = x64 + corr.astype(f64) * rnorm
+            iters += it
+            conv = conv and c_conv
+        r64, rel_t = residual64_core(
+            nodes64, tets, upper, free64,
+            jnp.asarray(config.pressure, f64),
+            jnp.asarray(lam, f64), jnp.asarray(mu, f64),
+            x64, num_nodes=mesh.num_nodes,
+        )
+        rel = float(rel_t)
+        u, s6, vm = recover_core(nodes64, tets, x64, free64,
+                                 jnp.asarray(lam, f64), jnp.asarray(mu, f64),
+                                 num_nodes=mesh.num_nodes)
+    else:
+        u, s6, vm = recover_core(nodes, tets, x, free, lam_d, mu_d,
+                                 num_nodes=mesh.num_nodes)
+
+    return FemSolution(
+        u=np.asarray(u, dtype=np.float64),
+        stress6=np.asarray(s6, dtype=np.float64),
+        vm=np.asarray(vm, dtype=np.float64),
+        iters=iters,
+        rel_residual=rel,
+        converged=conv,
     )
 
 

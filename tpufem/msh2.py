@@ -23,8 +23,14 @@ _TET_TYPES = {4: 4, 11: 10}
 
 def parse_msh2(path: Path | str) -> Mesh:
     text = Path(path).read_text()
-    nodes_id, nodes_xyz = _parse_nodes(text)
-    tris, tets = _parse_elements(text)
+    from tpufem.native import msh2_parse_native
+
+    native = msh2_parse_native(text)
+    if native is not None:
+        nodes_id, nodes_xyz, tris, tets = native
+    else:
+        nodes_id, nodes_xyz = _parse_nodes(text)
+        tris, tets = _parse_elements(text)
 
     # Renumber gmsh 1-based sparse ids -> dense 0-based.
     remap = np.full(nodes_id.max() + 1, -1, dtype=np.int64)
