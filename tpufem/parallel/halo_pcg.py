@@ -389,7 +389,7 @@ def halo_pcg_solve(
             spec_vec, spec_vec, spec_vec, spec_vec, spec_vec,  # pairs
         ),
         out_specs=(spec_nodes, P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))  # noqa: E731
