@@ -328,11 +328,9 @@ def halo_pcg_solve(
         mvec = fm.reshape(S_loc, Dd)
         B = B * mvec[:, :, None] * mvec[:, None, :]
         B = B + jnp.eye(Dd, dtype=dtype)[None] * (1.0 - mvec)[:, :, None]
-        dscale = jnp.einsum("sii->si", B)
-        s = 1.0 / jnp.sqrt(jnp.maximum(dscale, 1e-30))
-        Bs_inv = jnp.linalg.inv(B * s[:, :, None] * s[:, None, :])
-        Bs_inv = 0.5 * (Bs_inv + jnp.swapaxes(Bs_inv, 1, 2))
-        Binv = Bs_inv * s[:, :, None] * s[:, None, :]
+        from tpufem.fem.precond import spd_block_inverse
+
+        Binv = spd_block_inverse(B)
 
         def M(r_flat):
             r3 = r_flat.reshape(-1, 3)
