@@ -55,6 +55,7 @@ class WingBatchContext:
         self.dtype = dtype
         self.num_nodes = topo.num_nodes
         self.node_basis = jnp.asarray(topo.node_basis, dtype=dtype)
+        self.te_floor = topo.te_floor
         self.tets = jnp.asarray(topo.tets)
         # boundary sets from a representative geometry; indices are topological
         # so they hold for every wing in the PRD box
@@ -77,7 +78,9 @@ class WingBatchContext:
     def _case_system(self, p, pressure, lam, mu):
         from tpufem.fem.precond import line_blocks, make_line_preconditioner
 
-        nodes = nodes_from_params(self.node_basis, p[0], p[1], p[2], p[3])
+        nodes = nodes_from_params(
+            self.node_basis, p[0], p[1], p[2], p[3], te_floor=self.te_floor
+        )
         grads, vols = tet4_setup(nodes, self.tets)
         f = pressure_loads(nodes, self.upper_faces, pressure, self.num_nodes)
         b = f.reshape(-1) * self.free_mask

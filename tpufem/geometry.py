@@ -35,9 +35,18 @@ def naca00xx_half_thickness(x_over_c: np.ndarray, thickness_ratio: float) -> np.
 
 
 def cosine_stations(n: int) -> np.ndarray:
-    """n+1 chordwise stations in [0,1], cosine-clustered at the leading edge."""
+    """n+1 chordwise stations in [0,1], cosine-clustered at BOTH ends
+    (the right choice for a sharp trailing edge)."""
     theta = np.linspace(0.0, np.pi, n + 1)
     return 0.5 * (1.0 - np.cos(theta))
+
+
+def le_stations(n: int) -> np.ndarray:
+    """n+1 chordwise stations clustered at the leading edge only — used with a
+    blunt (thickness-floored) trailing edge, where TE clustering would only
+    create needlessly thin chordwise cells."""
+    theta = np.linspace(0.0, np.pi / 2, n + 1)
+    return 1.0 - np.cos(theta)
 
 
 def airfoil_ring(chord_m: float, thickness_ratio: float, n_chord: int = 48) -> np.ndarray:

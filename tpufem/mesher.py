@@ -56,15 +56,27 @@ _HEX_CORNERS = np.array(
 
 @dataclass(frozen=True)
 class WingMeshResolution:
-    """Structured grid resolution: n_chord x n_span x n_thick cells."""
+    """Structured grid resolution: n_chord x n_span x n_thick cells.
+
+    te_floor_frac > 0 applies a trailing-edge half-thickness floor of
+    te_floor_frac * chord * s (linear ramp, zero at the LE): the standard
+    finite-TE idealization. A sharp NACA TE forces element aspect ratios into
+    the hundreds near the TE wedge, which drives the stiffness condition
+    number to ~1e9+ — CG stops converging in ANY precision (measured). A 0.6%
+    floor caps AR around ~20 and restores normal iterative behavior; it adds
+    ~0.25% to the section volume. spacing='le' clusters chord stations at the
+    leading edge only (TE clustering is pointless once the TE is blunt).
+    """
 
     n_chord: int = 32
     n_span: int = 24
     n_thick: int = 4
+    te_floor_frac: float = 0.0
+    spacing: str = "cosine"  # 'cosine' (both ends) | 'le' (leading edge only)
 
     @property
-    def key(self) -> tuple[int, int, int]:
-        return (self.n_chord, self.n_span, self.n_thick)
+    def key(self) -> tuple:
+        return (self.n_chord, self.n_span, self.n_thick, self.te_floor_frac, self.spacing)
 
 
 # ~matching the reference default gmsh clscale=0.1 mesh scale (tens of thousands
@@ -72,7 +84,9 @@ class WingMeshResolution:
 COARSE = WingMeshResolution(12, 8, 2)
 MEDIUM = WingMeshResolution(32, 24, 4)
 FINE = WingMeshResolution(48, 48, 6)
-DOF100K = WingMeshResolution(64, 80, 6)
+DOF100K = WingMeshResolution(64, 80, 6, te_floor_frac=0.006, spacing="le")
+# ~1M-DOF when promoted to tet10 (tpufem.fem.tet10)
+DOF1M_TET10 = WingMeshResolution(96, 128, 8, te_floor_frac=0.006, spacing="le")
 
 
 @dataclass(frozen=True)
@@ -82,7 +96,8 @@ class WingTopology:
     node_basis columns: (s, yfrac, zfrac, zbase) where
       x = chord*s + span*yfrac*tan(sweep)
       y = span*yfrac
-      z = chord*thickness_ratio*zbase*zfrac      (zbase = half-thickness at t=1)
+      z = chord * zfrac * max(thickness_ratio*zbase, te_floor*s)
+    (zbase = half-thickness at t=1; te_floor = TE thickness floor fraction)
 
     station_id/slot index the through-thickness "lines": station = (i, j) chord/
     span grid column, slot = position along thickness. Node numbering is
@@ -98,23 +113,28 @@ class WingTopology:
     slot: np.ndarray  # (N,) int32: thickness index within the station
     num_stations: int
     slots_per_station: int  # n_thick + 1
+    te_floor: float = 0.0
 
 
 @lru_cache(maxsize=8)
 def wing_topology(res: WingMeshResolution) -> WingTopology:
     nc, ns, nt = res.n_chord, res.n_span, res.n_thick
-    s = cosine_stations(nc)  # (nc+1,) LE..TE
+    from tpufem.geometry import le_stations
+
+    s = (le_stations if res.spacing == "le" else cosine_stations)(nc)  # LE..TE
     zbase = naca00xx_half_thickness(s, 1.0)  # half-thickness per unit t-ratio
 
-    # Full grid ids g(i,j,k); weld all k to k=0 at the LE (i=0) and TE (i=nc)
-    # columns where the section degenerates to an edge.
+    # Full grid ids g(i,j,k); weld all k to k=0 where the section degenerates
+    # to an edge: always at the LE (i=0); at the TE (i=nc) only when sharp
+    # (te_floor_frac == 0 — a floored TE keeps finite thickness).
     NI, NJ, NK = nc + 1, ns + 1, nt + 1
 
     def gid(i, j, k):
         return (i * NJ + j) * NK + k
 
     I, J, K = np.meshgrid(np.arange(NI), np.arange(NJ), np.arange(NK), indexing="ij")
-    rep = gid(I, J, np.where((I == 0) | (I == nc), 0, K)).ravel()
+    weld = (I == 0) | ((I == nc) & (res.te_floor_frac == 0.0))
+    rep = gid(I, J, np.where(weld, 0, K)).ravel()
 
     uniq, new_of_old = np.unique(rep, return_inverse=True)
     num_nodes = len(uniq)
@@ -143,7 +163,10 @@ def wing_topology(res: WingMeshResolution) -> WingTopology:
 
     # Fix orientation using a reference geometry (orientation is invariant over
     # the PRD box: the coordinate map is a positive-Jacobian deformation).
-    nodes = _nodes_np(node_basis, span_m=1.0, chord_m=0.35, sweep_deg=10.0, thickness_ratio=0.10)
+    nodes = _nodes_np(
+        node_basis, span_m=1.0, chord_m=0.35, sweep_deg=10.0, thickness_ratio=0.10,
+        te_floor=res.te_floor_frac,
+    )
     v = nodes[tets]
     vol6 = np.einsum("ti,ti->t", v[:, 1] - v[:, 0], np.cross(v[:, 2] - v[:, 0], v[:, 3] - v[:, 0]))
     flip = vol6 < 0
@@ -159,6 +182,7 @@ def wing_topology(res: WingMeshResolution) -> WingTopology:
         slot=rk.astype(np.int32),
         num_stations=NI * NJ,
         slots_per_station=NK,
+        te_floor=res.te_floor_frac,
     )
 
 
@@ -186,16 +210,22 @@ def boundary_faces(tets: np.ndarray) -> np.ndarray:
 
 
 def _nodes_np(
-    basis: np.ndarray, span_m: float, chord_m: float, sweep_deg: float, thickness_ratio: float
+    basis: np.ndarray,
+    span_m: float,
+    chord_m: float,
+    sweep_deg: float,
+    thickness_ratio: float,
+    te_floor: float = 0.0,
 ) -> np.ndarray:
     s, yfrac, zfrac, zbase = basis[:, 0], basis[:, 1], basis[:, 2], basis[:, 3]
     y = span_m * yfrac
     x = chord_m * s + np.tan(np.deg2rad(sweep_deg)) * y
-    z = chord_m * thickness_ratio * zbase * zfrac
+    half = np.maximum(thickness_ratio * zbase, te_floor * s)
+    z = chord_m * half * zfrac
     return np.stack([x, y, z], axis=1)
 
 
-def nodes_from_params(basis, span_m, chord_m, sweep_deg, thickness_ratio):
+def nodes_from_params(basis, span_m, chord_m, sweep_deg, thickness_ratio, te_floor=0.0):
     """jnp-traceable node coordinates from wing parameters.
 
     Works with numpy or jax.numpy inputs; `vmap` over the four scalars yields
@@ -212,7 +242,8 @@ def nodes_from_params(basis, span_m, chord_m, sweep_deg, thickness_ratio):
     s, yfrac, zfrac, zbase = basis[:, 0], basis[:, 1], basis[:, 2], basis[:, 3]
     y = span_m * yfrac
     x = chord_m * s + jnp.tan(jnp.deg2rad(sweep_deg)) * y
-    z = chord_m * thickness_ratio * zbase * zfrac
+    half = jnp.maximum(thickness_ratio * zbase, jnp.asarray(te_floor, dt) * s)
+    z = chord_m * half * zfrac
     return jnp.stack([x, y, z], axis=1)
 
 
@@ -225,7 +256,9 @@ def structured_wing_mesh(
 ) -> Mesh:
     """Mesh one wing instance (host-side numpy Mesh)."""
     topo = wing_topology(res)
-    nodes = _nodes_np(topo.node_basis, span_m, chord_m, sweep_deg, thickness_ratio)
+    nodes = _nodes_np(
+        topo.node_basis, span_m, chord_m, sweep_deg, thickness_ratio, topo.te_floor
+    )
     mesh = Mesh(
         nodes=nodes,
         tets=topo.tets.copy(),
