@@ -23,16 +23,16 @@ BASELINE_SECONDS_PER_CASE = 60.0
 
 
 def main() -> None:
-    from tpufem.fem.batched import WingBatchContext
-    from tpufem.fem.material import Material, lame_params
+    from tpufem.fem.batched_t import WingBatchT
     from tpufem.mesher import DOF100K
     from tpufem.pipeline.types import PRD_RANGES
 
     batch = 8
     tol = 1e-5
-    maxiter = 6000
+    maxiter = 12000
+    chunk = 2000
 
-    ctx = WingBatchContext(DOF100K, dtype=jnp.float32)
+    bt = WingBatchT(DOF100K, dtype=jnp.float32)
     rng = np.random.default_rng(42)
     p4 = np.stack(
         [
@@ -43,20 +43,13 @@ def main() -> None:
         ],
         axis=1,
     ).astype(np.float32)
-    lam, mu = lame_params(Material())
-    args = (
-        jnp.asarray(p4),
-        jnp.float32(5e3),
-        jnp.float32(lam),
-        jnp.float32(mu),
-    )
 
-    # warmup/compile
-    out = ctx.solve(*args, tol=tol, maxiter=maxiter)
+    # warmup/compile (few iterations)
+    out = bt.solve(p4, pressure=5e3, tol=tol, maxiter=200, chunk_iters=200)
     out.u.block_until_ready()
 
     t0 = time.perf_counter()
-    out = ctx.solve(*args, tol=tol, maxiter=maxiter)
+    out = bt.solve(p4, pressure=5e3, tol=tol, maxiter=maxiter, chunk_iters=chunk)
     out.u.block_until_ready()
     elapsed = time.perf_counter() - t0
     per_case = elapsed / batch
@@ -70,9 +63,9 @@ def main() -> None:
                 "vs_baseline": round(BASELINE_SECONDS_PER_CASE / per_case, 1),
                 "detail": {
                     "batch": batch,
-                    "dof": int(ctx.num_nodes * 3),
-                    "num_tets": int(ctx.tets.shape[0]),
-                    "iters": int(np.max(np.asarray(out.iters))),
+                    "dof": int(bt.num_nodes * 3),
+                    "num_tets": int(bt.tets.shape[0]),
+                    "iters": int(out.iters),
                     "max_rel_residual": float(np.max(np.asarray(out.rel_residual))),
                     "all_converged": bool(np.all(np.asarray(out.converged))),
                     "total_s": round(elapsed, 3),
