@@ -30,7 +30,7 @@ def main() -> None:
     batch = 8
     tol = 1e-5
     maxiter = 12000
-    chunk = 2000
+    chunk = 500
 
     bt = WingBatchT(DOF100K, dtype=jnp.float32)
     rng = np.random.default_rng(42)

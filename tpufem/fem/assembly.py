@@ -58,17 +58,19 @@ def elastic_force(grads, vols, tets, u_nodes, lam, mu, num_nodes, incidence=None
     Returns (N,3) nodal forces.
     """
     ue = u_nodes[tets]  # (T,4,3) gather
-    # precision='highest': TPU f32 contractions default to bf16 multiplies,
-    # which perturbs the operator by ~1e-2 relative and stalls/derails CG.
-    H = jnp.einsum("tai,taj->tij", grads, ue, precision="highest")
+    # Broadcast-multiply-sum instead of einsum: XLA:TPU lowers tiny batched
+    # contractions (181k x (3x4 @ 4x3)) onto the MXU with catastrophic padding
+    # — measured 5x slower than this VPU-fused form. Also keeps full f32
+    # multiplies (einsum would default to bf16 on TPU and derail CG).
+    H = (grads[:, :, :, None] * ue[:, :, None, :]).sum(axis=1)  # (T,3,3)
     eps = 0.5 * (H + jnp.swapaxes(H, 1, 2))
     tr = eps[:, 0, 0] + eps[:, 1, 1] + eps[:, 2, 2]
     sigma = 2.0 * mu * eps
     sigma = sigma.at[:, 0, 0].add(lam * tr)
     sigma = sigma.at[:, 1, 1].add(lam * tr)
     sigma = sigma.at[:, 2, 2].add(lam * tr)
-    fe = vols[:, None, None] * jnp.einsum(
-        "tij,taj->tai", sigma, grads, precision="highest"
+    fe = vols[:, None, None] * (sigma[:, None, :, :] * grads[:, :, None, :]).sum(
+        axis=3
     )  # (T,4,3)
     if incidence is not None:
         return gather_accumulate(fe.reshape(-1, 3), incidence, inc_mask)

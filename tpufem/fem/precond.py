@@ -140,7 +140,7 @@ def line_blocks(plan, grads, vols, lam, mu, free_mask, S=None, K=None):
     kab = v[:, None, None] * (
         lam * ga[:, :, None] * gb[:, None, :]
         + mu * gb[:, :, None] * ga[:, None, :]
-        + mu * jnp.einsum("pk,pk->p", ga, gb, precision="highest")[:, None, None] * eye
+        + mu * (ga * gb).sum(axis=1)[:, None, None] * eye
     )  # (P,3,3)
     return line_blocks_from_pairs(kab, plan, free_mask, S, K)
 
@@ -214,7 +214,8 @@ def make_line_preconditioner(plan, Binv, S=None, K=None):
     def M(r_flat):
         r3 = r_flat.reshape(-1, 3)
         rs = r3[station_nodes].reshape(S, D)  # gather lines
-        zs = jnp.einsum("sij,sj->si", Binv, rs, precision="highest")  # block solve
+        # broadcast matvec (tiny batched dims lower poorly as einsum on TPU)
+        zs = (Binv * rs[:, None, :]).sum(axis=2)
         zs = zs.reshape(S, K, 3)
         return zs[node_station, node_slot].reshape(-1)  # scatter back
 

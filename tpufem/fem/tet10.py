@@ -160,21 +160,23 @@ def _quad_grads(Jinv, dtype):
     (tpufem.fem.elements: g_a = columns of inv(J)).
     """
     table = jnp.asarray(DNDXI, dtype=dtype)  # (Q,10,3)
-    return jnp.einsum("qai,tji->tqaj", table, Jinv, precision="highest")
+    # broadcast-sum (tiny batched einsums pad badly onto the TPU MXU)
+    return (table[None, :, :, None, :] * Jinv[:, None, None, :, :]).sum(axis=-1)
 
 
 def tet10_force(Jinv, vols, tet10, u_nodes, lam, mu, num_nodes):
     """y = K u for tet10, quadrature-point tensor form."""
     g = _quad_grads(Jinv, u_nodes.dtype)  # (T,Q,10,3)
     ue = u_nodes[tet10]  # (T,10,3)
-    H = jnp.einsum("tqai,taj->tqij", g, ue, precision="highest")
+    H = (g[:, :, :, :, None] * ue[:, None, :, None, :]).sum(axis=2)  # (T,Q,3,3)
     eps = 0.5 * (H + jnp.swapaxes(H, 2, 3))
     tr = eps[..., 0, 0] + eps[..., 1, 1] + eps[..., 2, 2]
     sigma = 2.0 * mu * eps
     idx = jnp.arange(3)
     sigma = sigma.at[..., idx, idx].add(lam * tr[..., None])
     w = (GAUSS_WEIGHT * vols)[:, None]  # (T,1) per-q weight
-    fe = jnp.einsum("tqij,tqaj->tai", sigma * w[..., None, None], g, precision="highest")
+    sw = sigma * w[..., None, None]  # (T,Q,3,3)
+    fe = (sw[:, :, None, :, :] * g[:, :, :, None, :]).sum(axis=(1, 4))  # (T,10,3)
     return jax.ops.segment_sum(fe.reshape(-1, 3), tet10.reshape(-1), num_segments=num_nodes)
 
 
@@ -317,7 +319,7 @@ def tet10_stress_nodal(Jinv, vols, tet10, u_nodes, lam, mu, num_nodes):
     """Quad-point stresses -> volume-weighted nodal (N,6) Voigt average."""
     g = _quad_grads(Jinv, u_nodes.dtype)
     ue = u_nodes[tet10]
-    H = jnp.einsum("tqai,taj->tqij", g, ue, precision="highest")
+    H = (g[:, :, :, :, None] * ue[:, None, :, None, :]).sum(axis=2)
     eps = 0.5 * (H + jnp.swapaxes(H, 2, 3))
     tr = eps[..., 0, 0] + eps[..., 1, 1] + eps[..., 2, 2]
     sigma = 2.0 * mu * eps

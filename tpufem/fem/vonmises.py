@@ -17,7 +17,8 @@ import jax.numpy as jnp
 def element_stress(grads, vols, tets, u_nodes, lam, mu):
     """Constant per-element Cauchy stress (T,3,3) from nodal displacement (N,3)."""
     ue = u_nodes[tets]
-    H = jnp.einsum("tai,taj->tij", grads, ue, precision="highest")
+    # broadcast-sum form (see tpufem.fem.assembly: 5x faster than einsum on TPU)
+    H = (grads[:, :, :, None] * ue[:, :, None, :]).sum(axis=1)
     eps = 0.5 * (H + jnp.swapaxes(H, 1, 2))
     tr = eps[:, 0, 0] + eps[:, 1, 1] + eps[:, 2, 2]
     sigma = 2.0 * mu * eps

@@ -263,14 +263,16 @@ def halo_pcg_solve(
     def local_force(grads, vols, tets, u_ext):
         """element forces on local+ghost node vector (n_local+g, 3)."""
         ue = u_ext[tets]
-        H = jnp.einsum("tai,taj->tij", grads, ue, precision="highest")
+        # broadcast-sum forms: tiny batched einsums lower onto the MXU with
+        # heavy padding on TPU (measured 5x slower)
+        H = (grads[:, :, :, None] * ue[:, :, None, :]).sum(axis=1)
         eps = 0.5 * (H + jnp.swapaxes(H, 1, 2))
         tr = eps[:, 0, 0] + eps[:, 1, 1] + eps[:, 2, 2]
         sig = 2.0 * mu * eps
         sig = sig.at[:, 0, 0].add(lam * tr)
         sig = sig.at[:, 1, 1].add(lam * tr)
         sig = sig.at[:, 2, 2].add(lam * tr)
-        fe = vols[:, None, None] * jnp.einsum("tij,taj->tai", sig, grads, precision="highest")
+        fe = vols[:, None, None] * (sig[:, None, :, :] * grads[:, :, None, :]).sum(axis=3)
         return jax.ops.segment_sum(fe.reshape(-1, 3), tets.reshape(-1), num_segments=n_local + g)
 
     def body(nodes_l, tets_l, tmask, upper_l, fmask, free_l, pt, pa, pb, pseg, pmask):
@@ -312,7 +314,7 @@ def halo_pcg_solve(
         kab = vv[:, None, None] * (
             lam * ga[:, :, None] * gb[:, None, :]
             + mu * gb[:, :, None] * ga[:, None, :]
-            + mu * jnp.einsum("pk,pk->p", ga, gb, precision="highest")[:, None, None] * eye
+            + mu * (ga * gb).sum(axis=1)[:, None, None] * eye
         )
         offs = jnp.arange(3)
         seg = (pseg[:, None, None] + offs[None, :, None] * Dd + offs[None, None, :]).reshape(-1)
@@ -335,7 +337,7 @@ def halo_pcg_solve(
         def M(r_flat):
             r3 = r_flat.reshape(-1, 3)
             rs = r3[station_nodes].reshape(S_loc, Dd)
-            zs = jnp.einsum("sij,sj->si", Binv, rs, precision="highest")
+            zs = (Binv * rs[:, None, :]).sum(axis=2)
             zs = zs.reshape(S_loc, K, 3)
             return zs[node_station, node_slot].reshape(-1)
 
