@@ -91,6 +91,25 @@ class WingBatchT:
         self.inc = jnp.asarray(inc)
         self.incm = jnp.asarray(incm, dtype)
 
+        # Two-level coarse correction with RIGID-BODY-MODE aggregation
+        # (smoothed-aggregation style): one-level line preconditioning leaves
+        # O(1/h^2) in-plane conditioning that defeats f32 CG at ~100k DOF, and
+        # a piecewise-constant coarse space cannot represent the dominant
+        # bending modes (measured: hard PRD-corner cases still diverge).
+        # Groups = (4x4 station) x full-thickness aggregates; 6 RBM dofs each.
+        group = (4, 4)
+        NI, NJ = res.n_chord + 1, res.n_span + 1
+        st = topo.station_id.astype(np.int64)
+        ii, jj = st // NJ, st % NJ
+        ngj = (NJ + group[1] - 1) // group[1]
+        ngi = (NI + group[0] - 1) // group[0]
+        node_group = ((ii // group[0]) * ngj + (jj // group[1])).astype(np.int32)
+        self.n_groups = ngi * ngj
+        self.nc = 6 * self.n_groups
+        self.node_group = jnp.asarray(node_group)
+        # per-tet group of each corner
+        self.tet_group = jnp.asarray(node_group[topo.tets])  # (T,4)
+
         self._jit_setup = jax.jit(self._setup)
         self._jit_chunk = jax.jit(self._chunk, static_argnames=("tol", "maxiter"))
         self._jit_recover = jax.jit(self._recover)
@@ -187,26 +206,109 @@ class WingBatchT:
 
         Binv = spd_block_inverse(Bsq)
         Binv = jnp.moveaxis(Binv.reshape(self.S, nb, self.D, self.D), 1, -1)  # (S,D,D,B)
-        return nodes, grads, vols, b, Binv
 
-    def _apply_M(self, Binv, r):
+        # ---- coarse Galerkin operator Ac = P^T (m A m) P with P = per-group
+        # rigid-body modes [I | (x - x_g) x ] — dense (nc,nc,B)
+        nc = self.nc
+        G = self.n_groups
+        free3 = self.free  # (N,3)
+        eye3 = jnp.eye(3, dtype=self.dtype)
+
+        cnt = jax.ops.segment_sum(
+            jnp.ones((self.num_nodes,), self.dtype), self.node_group, num_segments=G
+        )
+        xg = jax.ops.segment_sum(nodes, self.node_group, num_segments=G) / jnp.maximum(
+            cnt, 1.0
+        )[:, None, None]  # (G,3,B)
+        dvec = nodes - xg[self.node_group]  # (N,3,B)
+
+        def rbm(dn):
+            """(T,3,B) offsets -> (T,3,6,B) node RBM basis [I | e_k x d]."""
+            z = jnp.zeros_like(dn[:, 0])
+            dx, dy, dz = dn[:, 0], dn[:, 1], dn[:, 2]
+            rx = jnp.stack([z, -dz, dy], axis=1)  # column for omega = e_x
+            ry = jnp.stack([dz, z, -dx], axis=1)
+            rz = jnp.stack([-dy, dx, z], axis=1)
+            ident = jnp.broadcast_to(
+                eye3[None, :, :, None], (dn.shape[0], 3, 3, dn.shape[-1])
+            )
+            rot = jnp.stack([rx, ry, rz], axis=2)  # (T,3,3cols,B)
+            return jnp.concatenate([ident, rot], axis=2)  # (T,3,6,B)
+
+        Ac_flat = jnp.zeros((nc * nc, nb), self.dtype)
+        for a in range(4):
+            Pa = rbm(dvec[self.tets[:, a]])  # (T,3,6,B)
+            ga = grads[:, a]
+            fa = free3[self.tets[:, a]]  # (T,3)
+            for c in range(4):
+                gb = grads[:, c]
+                dot = (ga * gb).sum(axis=1)  # (T,B)
+                kab = vols[:, None, None, :] * (
+                    lam * ga[:, :, None, :] * gb[:, None, :, :]
+                    + mu * gb[:, :, None, :] * ga[:, None, :, :]
+                    + mu * dot[:, None, None, :] * eye3[None, :, :, None]
+                )  # (T,3,3,B)
+                fb = free3[self.tets[:, c]]
+                kab = kab * fa[:, :, None, None] * fb[:, None, :, None]
+                Pb = rbm(dvec[self.tets[:, c]])
+                tmp = (Pa[:, :, :, None, :] * kab[:, :, None, :, :]).sum(axis=1)  # (T,6,3,B)
+                blk = (tmp[:, :, :, None, :] * Pb[:, None, :, :, :]).sum(axis=2)  # (T,6,6,B)
+                base = (
+                    self.tet_group[:, a].astype(jnp.int64) * 6 * nc
+                    + self.tet_group[:, c].astype(jnp.int64) * 6
+                )
+                offs6 = jnp.arange(6)
+                idx = (
+                    base[:, None, None] + offs6[None, :, None] * nc + offs6[None, None, :]
+                ).reshape(-1)
+                Ac_flat = Ac_flat + jax.ops.segment_sum(
+                    blk.reshape(-1, nb), idx, num_segments=nc * nc
+                )
+        Ac = Ac_flat.reshape(nc, nc, nb)
+        dg = Ac[jnp.arange(nc), jnp.arange(nc), :]  # (nc,B)
+        # Deactivate near-singular coarse dofs (e.g. rotation about the axis of
+        # a single-station boundary group, whose RBM column is ~zero): zero the
+        # row/col and put a unit diagonal, else the Newton-Schulz inverse blows
+        # up on the kappa ~ 1/eps mode.
+        act = (dg > 1e-8 * dg.max(axis=0, keepdims=True)).astype(self.dtype)  # (nc,B)
+        Ac = Ac * act[:, None, :] * act[None, :, :]
+        Ac = Ac + jnp.eye(nc, dtype=self.dtype)[:, :, None] * (1.0 - act)[None, :, :]
+        Acsq = jnp.moveaxis(Ac, -1, 0)  # (B,nc,nc)
+        Ac_inv = spd_block_inverse(Acsq, ns_iters=40, ridge=3e-4)
+        Ac_inv = jnp.moveaxis(Ac_inv, 0, -1)  # (nc,nc,B)
+        return nodes, grads, vols, b, Binv, Ac_inv, dvec
+
+    def _apply_M(self, Binv, Ac_inv, dvec, r):
+        # line-block solve
         rs = r[self.station_nodes].reshape(self.S, self.D, -1)  # (S,D,B)
         zs = (Binv * rs[:, None, :, :]).sum(axis=2)  # (S,D,B)
         zs = zs.reshape(self.S, self.K, 3, -1)
-        return zs[self.node_station, self.node_slot]  # (N,3,B)
+        z = zs[self.node_station, self.node_slot]  # (N,3,B)
+        # RBM coarse correction (additive): P^T r = [sum r | sum d x r] per group
+        G = self.n_groups
+        rm = r * self.free[:, :, None]  # (N,3,B)
+        rot = _cross(dvec, rm)  # (N,3,B)
+        rc_t = jax.ops.segment_sum(rm, self.node_group, num_segments=G)
+        rc_r = jax.ops.segment_sum(rot, self.node_group, num_segments=G)
+        rc = jnp.concatenate([rc_t, rc_r], axis=1).reshape(self.nc, -1)  # (nc,B)
+        zc = (Ac_inv * rc[None, :, :]).sum(axis=1).reshape(G, 6, -1)
+        zt = zc[:, :3][self.node_group]  # (N,3,B)
+        zw = zc[:, 3:][self.node_group]
+        z2 = (zt + _cross(zw, dvec)) * self.free[:, :, None]
+        return z + z2
 
     def _apply_A(self, grads, vols, x, lam, mu):
         u = x * self.free[:, :, None]
         y = self._force(grads, vols, u, lam, mu)
         return y * self.free[:, :, None] + x * (1.0 - self.free)[:, :, None]
 
-    def _chunk(self, grads, vols, b, Binv, x0, lam, mu, tol, maxiter):
+    def _chunk(self, grads, vols, b, Binv, Ac_inv, dvec, x0, lam, mu, tol, maxiter):
         def dot(u_, v_):
             return (u_ * v_).sum(axis=(0, 1))  # (B,)
 
         x = x0
         r = b - self._apply_A(grads, vols, x, lam, mu)
-        z = self._apply_M(Binv, r)
+        z = self._apply_M(Binv, Ac_inv, dvec, r)
         p = z
         rz = dot(r, z)
         bn = jnp.sqrt(dot(b, b))
@@ -219,14 +321,19 @@ class WingBatchT:
 
         def step(st):
             x, r, p, z, rz, k = st
+            # freeze converged lanes: they would otherwise drive alpha/beta to
+            # 0/0 (NaN) while the slowest lane finishes
+            done = dot(r, r) <= tol2
             Ap = self._apply_A(grads, vols, p, lam, mu)
-            alpha = rz / dot(p, Ap)
+            denom = dot(p, Ap)
+            alpha = jnp.where(done | (denom == 0), 0.0, rz / jnp.where(denom == 0, 1.0, denom))
             x = x + alpha[None, None, :] * p
             r = r - alpha[None, None, :] * Ap
-            z = self._apply_M(Binv, r)
+            z = self._apply_M(Binv, Ac_inv, dvec, r)
             rz_new = dot(r, z)
-            p = z + (rz_new / rz)[None, None, :] * p
-            return (x, r, p, z, rz_new, k + 1)
+            beta = jnp.where(done | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+            p = z + beta[None, None, :] * p
+            return (x, r, p, z, jnp.where(done, rz, rz_new), k + 1)
 
         x, r, p, z, rz, k = jax.lax.while_loop(cond, step, (x, r, p, z, rz, jnp.int32(0)))
         rel = jnp.sqrt(dot(r, r)) / bn
@@ -281,7 +388,7 @@ class WingBatchT:
         lam = jnp.asarray(lam, self.dtype)
         mu = jnp.asarray(mu, self.dtype)
         press = jnp.asarray(pressure, self.dtype)
-        nodes, grads, vols, b, Binv = self._jit_setup(p4, press, lam, mu)
+        nodes, grads, vols, b, Binv, Ac_inv, dvec = self._jit_setup(p4, press, lam, mu)
         B = p4.shape[0]
         x = jnp.zeros((self.num_nodes, 3, B), self.dtype)
         total = 0
@@ -289,7 +396,7 @@ class WingBatchT:
         while total < maxiter:
             step = min(chunk_iters, maxiter - total)
             x, k, rel, conv = self._jit_chunk(
-                grads, vols, b, Binv, x, lam, mu, tol=tol, maxiter=step
+                grads, vols, b, Binv, Ac_inv, dvec, x, lam, mu, tol=tol, maxiter=step
             )
             total += int(k)
             if bool(jnp.all(conv)) or int(k) < step:
