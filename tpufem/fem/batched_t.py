@@ -321,9 +321,11 @@ class WingBatchT:
 
         def step(st):
             x, r, p, z, rz, k = st
-            # freeze converged lanes: they would otherwise drive alpha/beta to
-            # 0/0 (NaN) while the slowest lane finishes
-            done = dot(r, r) <= tol2
+            # freeze converged lanes (0/0 alpha otherwise) and lanes that blew
+            # up (f32 divergence on extreme cases) so they stop polluting work;
+            # blown lanes surface as converged=False for per-case fallback
+            rr = dot(r, r)
+            done = (rr <= tol2) | ~jnp.isfinite(rr)
             Ap = self._apply_A(grads, vols, p, lam, mu)
             denom = dot(p, Ap)
             alpha = jnp.where(done | (denom == 0), 0.0, rz / jnp.where(denom == 0, 1.0, denom))

@@ -43,6 +43,9 @@ class WingSolveConfig:
     maxiter: int = 20000
     dtype: Any = jnp.float32
     refine_steps: int = 0
+    # RBM two-level coarse correction (structured meshes only): required for
+    # f32 convergence at ~100k DOF and above; harmless below.
+    two_level: bool = True
     # Split the CG loop into host-controlled chunks of at most this many
     # iterations per device dispatch. The axon-tunneled TPU kills workers on
     # very long single dispatches; chunking also gives preemption points for
@@ -69,6 +72,7 @@ class FemSolution:
         "num_stations",
         "slots_per_station",
         "refine_steps",
+        "n_groups",
     ),
 )
 def solve_core(
@@ -88,6 +92,8 @@ def solve_core(
     num_stations: int = 0,
     slots_per_station: int = 0,
     refine_steps: int = 0,
+    rbm_group=None,
+    n_groups: int = 0,
 ):
     """Jitted single-case solve. All shapes static; padding via masks.
 
@@ -104,7 +110,12 @@ def solve_core(
 
     Returns (u (N,3), stress6 (N,6), vm (N,), iters, rel_residual, converged).
     """
-    from tpufem.fem.precond import line_blocks, make_line_preconditioner
+    from tpufem.fem.precond import (
+        line_blocks,
+        make_line_preconditioner,
+        make_rbm_two_level,
+        rbm_coarse_inverse,
+    )
 
     work_dt = nodes.dtype
     grads, vols = tet4_setup(nodes, tets, tet_mask)
@@ -116,6 +127,11 @@ def solve_core(
             line_plan, grads, vols, lam, mu, free_mask, S=num_stations, K=slots_per_station
         )
         M = make_line_preconditioner(line_plan, Binv, S=num_stations, K=slots_per_station)
+        if rbm_group is not None:
+            Ac_inv, dvec = rbm_coarse_inverse(
+                rbm_group, n_groups, tets, nodes, grads, vols, lam, mu, free_mask
+            )
+            M = make_rbm_two_level(M, Ac_inv, rbm_group, n_groups, dvec, free_mask)
         solve = lambda rhs: pcg(A, rhs, M=M, tol=tol, maxiter=maxiter)  # noqa: E731
     else:
         diag = stiffness_diagonal(grads, vols, tets, lam, mu, num_nodes, free_mask)
@@ -280,6 +296,15 @@ def solve_wing_case(
         if plan is not None
         else {}
     )
+    meta = mesh.meta or {}
+    if plan is not None and config.two_level and "num_span_stations" in meta:
+        from tpufem.fem.precond import build_rbm_groups
+
+        nj = int(meta["num_span_stations"])
+        ni = int(meta["num_stations"]) // nj
+        node_group, n_groups = build_rbm_groups(meta["station_id"], meta["slot"], ni, nj)
+        plan_kw["rbm_group"] = jnp.asarray(node_group)
+        plan_kw["n_groups"] = n_groups
     u, s6, vm, iters, rel, conv = solve_core(
         nodes,
         tets,

@@ -169,6 +169,112 @@ def line_blocks_from_pairs(kab, plan, free_mask, S, K):
     return spd_block_inverse(B)
 
 
+# ----------------------------------------------------- RBM two-level (single)
+
+
+def build_rbm_groups(station_id, slot, ni: int, nj: int, group=(4, 4)):
+    """(node_group (N,) int32, n_groups) for rigid-body-mode aggregation:
+    (group x group station) x full-thickness aggregates."""
+    st = np.asarray(station_id).astype(np.int64)
+    ii, jj = st // nj, st % nj
+    ngj = (nj + group[1] - 1) // group[1]
+    ngi = (ni + group[0] - 1) // group[0]
+    node_group = ((ii // group[0]) * ngj + (jj // group[1])).astype(np.int32)
+    return node_group, int(ngi * ngj)
+
+
+def _rbm_basis(d):
+    """(M,3) offsets -> (M,3,6) node RBM basis [I | e_k x d]."""
+    z = jnp.zeros_like(d[:, 0])
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    rx = jnp.stack([z, -dz, dy], axis=1)
+    ry = jnp.stack([dz, z, -dx], axis=1)
+    rz = jnp.stack([-dy, dx, z], axis=1)
+    ident = jnp.broadcast_to(jnp.eye(3, dtype=d.dtype)[None], (d.shape[0], 3, 3))
+    rot = jnp.stack([rx, ry, rz], axis=2)
+    return jnp.concatenate([ident, rot], axis=2)  # (M,3,6)
+
+
+def rbm_coarse_inverse(
+    node_group, n_groups: int, tets, nodes, grads, vols, lam, mu, free_mask,
+    ridge: float = 3e-4,
+):
+    """(Ac_inv (nc,nc), dvec (N,3)) for the RBM coarse correction.
+
+    See tpufem.fem.batched_t for the measured motivation: the line
+    preconditioner alone leaves O(1/h^2) in-plane conditioning that defeats
+    f32 CG at ~100k DOF, and piecewise-constant coarse spaces cannot represent
+    bending; per-group rigid-body modes can.
+    """
+    G = n_groups
+    nc = 6 * G
+    N = nodes.shape[0]
+    cnt = jax.ops.segment_sum(jnp.ones((N,), nodes.dtype), node_group, num_segments=G)
+    xg = jax.ops.segment_sum(nodes, node_group, num_segments=G) / jnp.maximum(cnt, 1.0)[:, None]
+    dvec = nodes - xg[node_group]  # (N,3)
+
+    free3 = free_mask.reshape(-1, 3)
+    eye3 = jnp.eye(3, dtype=nodes.dtype)
+    tg = node_group[tets]  # (T, corners)
+    n_corners = tets.shape[1]
+    Ac_flat = jnp.zeros((nc * nc,), nodes.dtype)
+    offs6 = jnp.arange(6)
+    for a in range(n_corners):
+        Pa = _rbm_basis(dvec[tets[:, a]])  # (T,3,6)
+        ga = grads[:, a]
+        fa = free3[tets[:, a]]
+        for c in range(n_corners):
+            gb = grads[:, c]
+            kab = vols[:, None, None] * (
+                lam * ga[:, :, None] * gb[:, None, :]
+                + mu * gb[:, :, None] * ga[:, None, :]
+                + mu * (ga * gb).sum(axis=1)[:, None, None] * eye3
+            )
+            fb = free3[tets[:, c]]
+            kab = kab * fa[:, :, None] * fb[:, None, :]
+            Pb = _rbm_basis(dvec[tets[:, c]])
+            tmp = (Pa[:, :, :, None] * kab[:, :, None, :]).sum(axis=1)  # (T,6,3)
+            blk = (tmp[:, :, :, None] * Pb[:, None, :, :]).sum(axis=2)  # (T,6,6)
+            base = tg[:, a].astype(jnp.int64) * 6 * nc + tg[:, c].astype(jnp.int64) * 6
+            idx = (base[:, None, None] + offs6[None, :, None] * nc + offs6[None, None, :]).reshape(-1)
+            Ac_flat = Ac_flat + jax.ops.segment_sum(blk.reshape(-1), idx, num_segments=nc * nc)
+    Ac = Ac_flat.reshape(nc, nc)
+    dg = jnp.diagonal(Ac)
+    act = (dg > 1e-8 * dg.max()).astype(nodes.dtype)
+    Ac = Ac * act[:, None] * act[None, :] + jnp.eye(nc, dtype=nodes.dtype) * (1.0 - act)
+    Ac_inv = spd_block_inverse(Ac[None], ns_iters=40, ridge=ridge)[0]
+    return Ac_inv, dvec
+
+
+def make_rbm_two_level(M_line, Ac_inv, node_group, n_groups: int, dvec, free_mask):
+    """M(r) = M_line(r) + P Ac^-1 P^T r with RBM prolongation."""
+    free3 = free_mask.reshape(-1, 3)
+
+    def cross(u, v):
+        return jnp.stack(
+            [
+                u[:, 1] * v[:, 2] - u[:, 2] * v[:, 1],
+                u[:, 2] * v[:, 0] - u[:, 0] * v[:, 2],
+                u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0],
+            ],
+            axis=1,
+        )
+
+    def M(r_flat):
+        z1 = M_line(r_flat)
+        r = r_flat.reshape(-1, 3) * free3
+        rc_t = jax.ops.segment_sum(r, node_group, num_segments=n_groups)
+        rc_r = jax.ops.segment_sum(cross(dvec, r), node_group, num_segments=n_groups)
+        rc = jnp.concatenate([rc_t, rc_r], axis=1).reshape(-1)  # (nc,)
+        zc = (Ac_inv * rc[None, :]).sum(axis=1).reshape(n_groups, 6)
+        zt = zc[:, :3][node_group]
+        zw = zc[:, 3:][node_group]
+        z2 = (zt + cross(zw, dvec)) * free3
+        return z1 + z2.reshape(-1)
+
+    return M
+
+
 # --------------------------------------------------------------- two-level
 
 
