@@ -120,9 +120,8 @@ def main(argv: list[str] | None = None) -> int:
 
 def run_batched(paths, case_ids, args, material) -> list[StepReport]:
     """One (or a few chunked) vmapped jit calls for the whole dataset."""
-    from tpufem.fem.batched import WingBatchContext, solve_wing_batch
+    from tpufem.fem.batched import solve_wing_batch
     from tpufem.mesher import WingMeshResolution
-    from tpufem.sets import BoundarySets
 
     if not case_ids:
         return []

@@ -7,7 +7,6 @@ manifest mesh_index. Resumable: cache hits skip completed cases.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 from pathlib import Path

@@ -16,7 +16,6 @@ XLA program (BASELINE.json config 4, the >=20x target).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -204,21 +204,56 @@ def tet10_diagonal(Jinv, vols, tet10, lam, mu, num_nodes, free_mask):
     return diag
 
 
-def tet10_pair_values(Jinv, vols, pair_t, pair_a, pair_b, lam, mu):
-    """(P,3,3) same-station pair blocks for the line preconditioner:
-    K_ab = sum_q w V [lam g_a (x) g_b + mu g_b (x) g_a + mu (g_a.g_b) I]."""
+def tet10_line_blocks(Jinv, vols, tet10, station_id, slot, lam, mu, free_mask, S: int, K: int):
+    """Inverted per-station line blocks (S,D,D) for tet10.
+
+    Loops over the 100 (a,b) corner combinations with SLICED gradient access —
+    per-pair fancy gathers of (P, Q, 3) arrays pad 42x on TPU (measured: OOM at
+    ~1M DOF), while slices g[:, :, a] are free. Same-station masks and segment
+    bases come from the station/slot arrays; off-station pairs contribute zero.
+    """
+    from tpufem.fem.precond import spd_block_inverse
+
     g = _quad_grads(Jinv, Jinv.dtype)  # (T,Q,10,3)
-    ga = g[pair_t, :, pair_a]  # (P,Q,3)
-    gb = g[pair_t, :, pair_b]
-    w = (GAUSS_WEIGHT * vols)[pair_t][:, None]  # (P,1)
+    w = GAUSS_WEIGHT * vols  # (T,) per-quad-point weight (equal weights)
     eye = jnp.eye(3, dtype=Jinv.dtype)
-    dot = jnp.einsum("pqk,pqk->pq", ga, gb, precision="highest")
-    kab = (
-        lam * jnp.einsum("pq,pqi,pqj->pij", w, ga, gb, precision="highest")
-        + mu * jnp.einsum("pq,pqi,pqj->pij", w, gb, ga, precision="highest")
-        + mu * jnp.einsum("pq,pq->p", w, dot, precision="highest")[:, None, None] * eye
-    )
-    return kab
+    D = 3 * K
+    st = station_id[tet10]  # (T,10)
+    sl = slot[tet10]
+    flat = jnp.zeros((S * D * D,), Jinv.dtype)
+    offs = jnp.arange(3)
+    for a in range(10):
+        ga = g[:, :, a]  # (T,Q,3)
+        for b in range(10):
+            gb = g[:, :, b]
+            same = (st[:, a] == st[:, b]).astype(Jinv.dtype)  # (T,)
+            wv = w * same
+            # sum over quadrature points: wv * [lam ga gb^T + mu gb ga^T + mu (ga.gb) I]
+            outer_ab = (ga[:, :, :, None] * gb[:, :, None, :]).sum(axis=1)  # (T,3,3)
+            outer_ba = jnp.swapaxes(outer_ab, 1, 2)
+            dot = (ga * gb).sum(axis=(1, 2))  # (T,)
+            kab = wv[:, None, None] * (lam * outer_ab + mu * outer_ba)
+            kab = kab + (wv * mu * dot)[:, None, None] * eye
+            base = st[:, a].astype(jnp.int64) * (D * D) + (3 * sl[:, a]) * D + 3 * sl[:, b]
+            idx = (
+                base[:, None, None] + offs[None, :, None] * D + offs[None, None, :]
+            ).reshape(-1)
+            flat = flat + jax.ops.segment_sum(kab.reshape(-1), idx, num_segments=S * D * D)
+    B = flat.reshape(S, D, D)
+    # BC/padding masking identical to line_blocks_from_pairs
+    free3 = free_mask.reshape(-1, 3)
+    # station_nodes map: build via scatter of node ids (host-free, traced ok)
+    # caller passes masks through free_mask only; slots always valid for tet10
+    # (every (station,slot) is occupied on the doubled grid)
+    # -> mask rows/cols of constrained dofs:
+    # dof (s, 3*k+i) is free iff the node at (s,k) is free; gather via argsort
+    # trick is avoided by scattering free values:
+    mvec = jnp.zeros((S, K, 3), Jinv.dtype)
+    mvec = mvec.at[station_id, slot].set(free3)
+    m = mvec.reshape(S, D)
+    B = B * m[:, :, None] * m[:, None, :]
+    B = B + jnp.eye(D, dtype=B.dtype)[None] * (1.0 - m)[:, :, None]
+    return spd_block_inverse(B)
 
 
 def pressure_loads_t6(nodes10, t6_faces, pressure, num_nodes, face_mask=None):
@@ -245,20 +280,25 @@ def solve_tet10_case(
     tol: float = 1e-6,
     maxiter: int = 20000,
     dtype=jnp.float32,
+    chunk_iters: int = 0,
+    two_level: bool = True,
+    nj2: int | None = None,
 ):
     """Full tet10 linear-static solve (host-facing).
 
     Returns (u (N,3), vm (N,), iters, rel_residual, converged) over the tet10
-    node set. Uses the thickness-line preconditioner when the doubled-grid
-    stations are available (structured meshes), Jacobi otherwise.
+    node set. Uses the thickness-line preconditioner (+ RBM two-level coarse
+    correction when two_level and the doubled-grid stations are available;
+    nj2 = span station count of the doubled grid, i.e. 2*(n_span+1)-1),
+    Jacobi otherwise. chunk_iters > 0 bounds each device dispatch.
     """
     from tpufem.fem.bc import dirichlet_mask
     from tpufem.fem.material import Material, lame_params
     from tpufem.fem.precond import (
-        build_line_plan_arrays,
-        line_blocks_from_pairs,
+        build_rbm_groups,
         make_line_preconditioner,
-        plan_device_arrays,
+        make_rbm_two_level,
+        rbm_coarse_inverse,
     )
     from tpufem.fem.solver import pcg
     from tpufem.fem.vonmises import von_mises
@@ -277,31 +317,62 @@ def solve_tet10_case(
     A = tet10_operator(Jinv, vols, conn, lam, mu, N, free)
 
     if t10.station_id is not None:
-        plan = build_line_plan_arrays(
-            t10.tet10, t10.station_id, t10.slot, t10.num_stations,
-            t10.slots_per_station, N,
-        )
-        arrs = plan_device_arrays(plan)
-        kab = tet10_pair_values(
-            Jinv, vols, arrs["pair_t"], arrs["pair_a"], arrs["pair_b"], lam, mu
-        )
-        Binv = line_blocks_from_pairs(kab, arrs, free, plan.num_stations, plan.K)
-        M = make_line_preconditioner(arrs, Binv, S=plan.num_stations, K=plan.K)
-        res = pcg(A, b, M=M, tol=tol, maxiter=maxiter)
+        S, K = t10.num_stations, t10.slots_per_station
+        st_j = jnp.asarray(t10.station_id.astype(np.int32))
+        sl_j = jnp.asarray(t10.slot.astype(np.int32))
+        Binv = jax.jit(
+            lambda Jv, vl, fm: tet10_line_blocks(
+                Jv, vl, conn, st_j, sl_j, lam, mu, fm, S=S, K=K
+            ),
+            static_argnames=(),
+        )(Jinv, vols, free)
+        station_nodes = np.zeros((S, K), np.int32)
+        station_nodes[t10.station_id, t10.slot] = np.arange(N, dtype=np.int32)
+        arrs = {
+            "station_nodes": jnp.asarray(station_nodes),
+            "node_station": st_j,
+            "node_slot": sl_j,
+        }
+        M = make_line_preconditioner(arrs, Binv, S=S, K=K)
+        if two_level and nj2 is not None:
+            ni2 = t10.num_stations // nj2
+            node_group, n_groups = build_rbm_groups(
+                t10.station_id, t10.slot, ni2, nj2, group=(8, 8)
+            )
+            grads_c = _quad_grads(Jinv, dtype).mean(axis=1)  # (T,10,3) avg-point grads
+            Ac_inv, dvec = rbm_coarse_inverse(
+                jnp.asarray(node_group), n_groups, conn, nodes10,
+                grads_c, vols, lam, mu, free,
+            )
+            M = make_rbm_two_level(M, Ac_inv, jnp.asarray(node_group), n_groups, dvec, free)
     else:
         diag = tet10_diagonal(Jinv, vols, conn, lam, mu, N, free)
-        res = pcg(A, b, diag, tol=tol, maxiter=maxiter)
+        inv_diag = 1.0 / diag
+        M = lambda r: inv_diag * r  # noqa: E731
 
-    u = (res.x * free).reshape(-1, 3)
+    run = jax.jit(
+        lambda rhs, x0, it: pcg(A, rhs, M=M, x0=x0, tol=tol, maxiter=it),
+        static_argnames=("it",),
+    )
+    x = jnp.zeros_like(b)
+    total = 0
+    rel = np.inf
+    conv = False
+    step = chunk_iters or maxiter
+    while total < maxiter:
+        it = min(step, maxiter - total)
+        res = run(b, x, it)
+        x = res.x
+        total += int(res.iters)
+        rel = float(res.rel_residual)
+        conv = bool(res.converged)
+        if conv or int(res.iters) < it:
+            break
+
+    u = (x * free).reshape(-1, 3)
     s6 = tet10_stress_nodal(Jinv, vols, conn, u, lam, mu, N)
     vm = von_mises(s6)
-    return (
-        np.asarray(u),
-        np.asarray(vm),
-        int(res.iters),
-        float(res.rel_residual),
-        bool(res.converged),
-    )
+    return (np.asarray(u), np.asarray(vm), total, rel, conv)
 
 
 def tet10_root_nodes(t10: Tet10Mesh, y_tol: float = 1e-4) -> np.ndarray:

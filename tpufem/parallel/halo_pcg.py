@@ -23,7 +23,6 @@ that keeps all traffic at one ghost layer per iteration.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, asdict
-from pathlib import Path
 
 import numpy as np
 
