@@ -90,6 +90,11 @@ class WingBatchT:
         inc, incm = build_incidence(topo.tets, self.num_nodes)
         self.inc = jnp.asarray(inc)
         self.incm = jnp.asarray(incm, dtype)
+        # corner-major incidence for the (…,B,T) fast layout: flat pos = a*T + t
+        inc_am, incm_am = build_incidence(topo.tets.T.copy(), self.num_nodes)
+        self.inc_am = jnp.asarray(inc_am)
+        self.incm_am = jnp.asarray(incm_am, dtype)
+        self.tets_cols = [jnp.asarray(topo.tets[:, a].copy()) for a in range(4)]
 
         # Two-level coarse correction with RIGID-BODY-MODE aggregation
         # (smoothed-aggregation style): one-level line preconditioning leaves
@@ -112,6 +117,7 @@ class WingBatchT:
 
         self._jit_setup = jax.jit(self._setup)
         self._jit_chunk = jax.jit(self._chunk, static_argnames=("tol", "maxiter"))
+        self._jit_chunk_fast = jax.jit(self._chunk_fast, static_argnames=("tol", "maxiter"))
         self._jit_recover = jax.jit(self._recover)
 
     # ---------------------------------------------------------------- pieces
@@ -159,6 +165,78 @@ class WingBatchT:
         ).sum(axis=3)  # (T,4,3,B)
         fe_flat = fe.reshape(-1, 3, fe.shape[-1])
         return (fe_flat[self.inc] * self.incm[:, :, None, None]).sum(axis=1)  # (N,3,B)
+
+    # -------------------------------------------------- fast (…,B,T) layout
+    # Minor axis = elements/nodes (huge, perfectly lane-tiled), second-minor =
+    # batch (8 = one f32 sublane tile). The (T,4,3,B) layout pads its (3,B)
+    # minor pair to (8,128) = 42x on every intermediate — measured 19.3 ms per
+    # SpMV at 109k DOF; this layout removes that padding entirely.
+
+    def _force_fast(self, grads_n, vols_n, u, lam, mu):
+        """y = K u with u (3,B,N), grads_n (4,3,B,T), vols_n (B,T)."""
+        ue = jnp.stack([u.take(c, axis=2) for c in self.tets_cols], axis=0)  # (4,3,B,T)
+        H = (grads_n[:, :, None] * ue[:, None, :, :, :]).sum(axis=0)  # (3,3,B,T)
+        eps = 0.5 * (H + jnp.swapaxes(H, 0, 1))
+        tr = eps[0, 0] + eps[1, 1] + eps[2, 2]  # (B,T)
+        sig = 2.0 * mu * eps
+        idx = jnp.arange(3)
+        sig = sig.at[idx, idx].add(lam * tr[None])
+        fe = vols_n[None, None] * (sig[None] * grads_n[:, None]).sum(axis=2)  # (4,3,B,T)
+        fe_flat = jnp.moveaxis(fe, 0, 2).reshape(3, fe.shape[2], -1)  # (3,B,4T) a-major
+        y = (fe_flat[:, :, self.inc_am] * self.incm_am[None, None]).sum(axis=-1)
+        return y  # (3,B,N)
+
+    def _apply_A_fast(self, grads_n, vols_n, x, lam, mu, free_n):
+        u = x * free_n
+        y = self._force_fast(grads_n, vols_n, u, lam, mu)
+        return y * free_n + x * (1.0 - free_n)
+
+    def _chunk_fast(self, grads_n, vols_n, b_n, Binv, Ac_inv, dvec, x0, lam, mu, tol, maxiter):
+        free_n = jnp.swapaxes(self.free, 0, 1)[:, None, :]  # (3,1,N)
+
+        def to_old(v):  # (3,B,N) -> (N,3,B)
+            return jnp.transpose(v, (2, 0, 1))
+
+        def to_new(v):  # (N,3,B) -> (3,B,N)
+            return jnp.transpose(v, (1, 2, 0))
+
+        def dot(u_, v_):
+            return (u_ * v_).sum(axis=(0, 2))  # (B,)
+
+        def M(r):
+            return to_new(self._apply_M(Binv, Ac_inv, dvec, to_old(r)))
+
+        x = x0
+        r = b_n - self._apply_A_fast(grads_n, vols_n, x, lam, mu, free_n)
+        z = M(r)
+        p = z
+        rz = dot(r, z)
+        bn = jnp.sqrt(dot(b_n, b_n))
+        bn = jnp.where(bn > 0, bn, 1.0)
+        tol2 = (tol * bn) ** 2
+
+        def cond(st):
+            _, r, _, _, _, k = st
+            return jnp.any(dot(r, r) > tol2) & (k < maxiter)
+
+        def step(st):
+            x, r, p, z, rz, k = st
+            rr = dot(r, r)
+            done = (rr <= tol2) | ~jnp.isfinite(rr)
+            Ap = self._apply_A_fast(grads_n, vols_n, p, lam, mu, free_n)
+            denom = dot(p, Ap)
+            alpha = jnp.where(done | (denom == 0), 0.0, rz / jnp.where(denom == 0, 1.0, denom))
+            x = x + alpha[None, :, None] * p
+            r = r - alpha[None, :, None] * Ap
+            z = M(r)
+            rz_new = dot(r, z)
+            beta = jnp.where(done | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+            p = z + beta[None, :, None] * p
+            return (x, r, p, z, jnp.where(done, rz, rz_new), k + 1)
+
+        x, r, p, z, rz, k = jax.lax.while_loop(cond, step, (x, r, p, z, rz, jnp.int32(0)))
+        rel = jnp.sqrt(dot(r, r)) / bn
+        return x, k, rel, rel <= tol
 
     def _setup(self, p4, pressure, lam, mu):
         nodes = self._nodes(p4)
@@ -274,8 +352,9 @@ class WingBatchT:
         Ac = Ac * act[:, None, :] * act[None, :, :]
         Ac = Ac + jnp.eye(nc, dtype=self.dtype)[:, :, None] * (1.0 - act)[None, :, :]
         Acsq = jnp.moveaxis(Ac, -1, 0)  # (B,nc,nc)
-        Ac_inv = spd_block_inverse(Acsq, ns_iters=40, ridge=3e-4)
-        Ac_inv = jnp.moveaxis(Ac_inv, 0, -1)  # (nc,nc,B)
+        # keep batch-major: a (nc,nc,B) layout pads the B minor to 128 lanes
+        # (measured 6.3 ms per coarse matvec vs ~0.2 ms in this layout)
+        Ac_inv = spd_block_inverse(Acsq, ns_iters=40, ridge=3e-4)  # (B,nc,nc)
         return nodes, grads, vols, b, Binv, Ac_inv, dvec
 
     def _apply_M(self, Binv, Ac_inv, dvec, r):
@@ -291,7 +370,9 @@ class WingBatchT:
         rc_t = jax.ops.segment_sum(rm, self.node_group, num_segments=G)
         rc_r = jax.ops.segment_sum(rot, self.node_group, num_segments=G)
         rc = jnp.concatenate([rc_t, rc_r], axis=1).reshape(self.nc, -1)  # (nc,B)
-        zc = (Ac_inv * rc[None, :, :]).sum(axis=1).reshape(G, 6, -1)
+        zc = jnp.einsum(
+            "bij,jb->ib", Ac_inv, rc, precision="highest"
+        ).reshape(G, 6, -1)
         zt = zc[:, :3][self.node_group]  # (N,3,B)
         zw = zc[:, 3:][self.node_group]
         z2 = (zt + _cross(zw, dvec)) * self.free[:, :, None]
@@ -384,6 +465,7 @@ class WingBatchT:
         tol: float = 1e-6,
         maxiter: int = 20000,
         chunk_iters: int = 1000,
+        fast_layout: bool = True,
     ) -> BatchTSolveResult:
         p4 = jnp.asarray(params4, self.dtype)
         lam, mu = lame_params(material)
@@ -392,16 +474,32 @@ class WingBatchT:
         press = jnp.asarray(pressure, self.dtype)
         nodes, grads, vols, b, Binv, Ac_inv, dvec = self._jit_setup(p4, press, lam, mu)
         B = p4.shape[0]
-        x = jnp.zeros((self.num_nodes, 3, B), self.dtype)
         total = 0
         rel = conv = None
-        while total < maxiter:
-            step = min(chunk_iters, maxiter - total)
-            x, k, rel, conv = self._jit_chunk(
-                grads, vols, b, Binv, Ac_inv, dvec, x, lam, mu, tol=tol, maxiter=step
-            )
-            total += int(k)
-            if bool(jnp.all(conv)) or int(k) < step:
-                break
+        if fast_layout:
+            grads_n = jnp.transpose(grads, (1, 2, 3, 0))  # (4,3,B,T)
+            vols_n = jnp.swapaxes(vols, 0, 1)  # (B,T)
+            b_n = jnp.transpose(b, (1, 2, 0))  # (3,B,N)
+            xf = jnp.zeros((3, B, self.num_nodes), self.dtype)
+            while total < maxiter:
+                step = min(chunk_iters, maxiter - total)
+                xf, k, rel, conv = self._jit_chunk_fast(
+                    grads_n, vols_n, b_n, Binv, Ac_inv, dvec, xf, lam, mu,
+                    tol=tol, maxiter=step,
+                )
+                total += int(k)
+                if bool(jnp.all(conv)) or int(k) < step:
+                    break
+            x = jnp.transpose(xf, (2, 0, 1))  # (N,3,B)
+        else:
+            x = jnp.zeros((self.num_nodes, 3, B), self.dtype)
+            while total < maxiter:
+                step = min(chunk_iters, maxiter - total)
+                x, k, rel, conv = self._jit_chunk(
+                    grads, vols, b, Binv, Ac_inv, dvec, x, lam, mu, tol=tol, maxiter=step
+                )
+                total += int(k)
+                if bool(jnp.all(conv)) or int(k) < step:
+                    break
         u, s6, vm = self._jit_recover(grads, vols, x, lam, mu)
         return BatchTSolveResult(nodes, u, s6, vm, total, rel, conv)
