@@ -167,10 +167,12 @@ class WingBatchT:
         return (fe_flat[self.inc] * self.incm[:, :, None, None]).sum(axis=1)  # (N,3,B)
 
     # -------------------------------------------------- fast (…,B,T) layout
-    # Minor axis = elements/nodes (huge, perfectly lane-tiled), second-minor =
-    # batch (8 = one f32 sublane tile). The (T,4,3,B) layout pads its (3,B)
-    # minor pair to (8,128) = 42x on every intermediate — measured 19.3 ms per
-    # SpMV at 109k DOF; this layout removes that padding entirely.
+    # EXPERIMENTAL (fast_layout=False by default): minor axis = elements
+    # (lane-tiled), batch = one f32 sublane tile. Measured 1.8x faster per
+    # iteration (23.5 vs 42.6 ms/batch-iter at 109k DOF) and bit-identical to
+    # the default layout in f64, BUT its different f32 reduction ordering can
+    # stall CG ~10x above tight tolerances on the hardest lanes — net slower
+    # until paired with higher-precision dot products (round-2 work).
 
     def _force_fast(self, grads_n, vols_n, u, lam, mu):
         """y = K u with u (3,B,N), grads_n (4,3,B,T), vols_n (B,T)."""
@@ -465,7 +467,7 @@ class WingBatchT:
         tol: float = 1e-6,
         maxiter: int = 20000,
         chunk_iters: int = 1000,
-        fast_layout: bool = True,
+        fast_layout: bool = False,
     ) -> BatchTSolveResult:
         p4 = jnp.asarray(params4, self.dtype)
         lam, mu = lame_params(material)
