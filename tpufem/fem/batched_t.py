@@ -203,7 +203,11 @@ class WingBatchT:
             return jnp.transpose(v, (1, 2, 0))
 
         def dot(u_, v_):
-            return (u_ * v_).sum(axis=(0, 2))  # (B,)
+            # f64 accumulation (emulated on TPU, requires jax_enable_x64;
+            # silently stays f32 otherwise): this layout's f32 reduction
+            # ordering can stall CG on the hardest lanes without it
+            acc = (u_.astype(jnp.float64) * v_.astype(jnp.float64)).sum(axis=(0, 2))
+            return acc.astype(self.dtype)  # (B,)
 
         def M(r):
             return to_new(self._apply_M(Binv, Ac_inv, dvec, to_old(r)))
