@@ -275,130 +275,6 @@ def make_rbm_two_level(M_line, Ac_inv, node_group, n_groups: int, dvec, free_mas
     return M
 
 
-# --------------------------------------------------------------- two-level
-
-
-@dataclass(frozen=True)
-class CoarsePlan:
-    """Host-precomputed coarse-grid correction plan (semi-coarsened in-plane:
-    stations pooled in (chord, span) groups, thickness lines kept intact).
-
-    One-level line preconditioning leaves the ordinary O(1/h^2) in-plane
-    conditioning, which at ~100k DOF still defeats f32 CG (measured). The
-    coarse space of piecewise-constant station groups captures the
-    long-wavelength (bending) modes; its Galerkin operator Ac = P^T A P is
-    small enough (~2k dofs) to invert densely once per case with
-    Newton-Schulz, and M = M_line + P Ac^-1 P^T stays SPD (additive Schwarz).
-    """
-
-    pair_t: np.ndarray  # (P,) every element corner pair (a,b)
-    pair_a: np.ndarray
-    pair_b: np.ndarray
-    pair_seg: np.ndarray  # (P,) flat (coarse_row_base, coarse_col_base) index
-    node_cdof: np.ndarray  # (N,) coarse dof base of each node (cs*D + 3*slot)
-    nc: int  # coarse dofs = Sc * D
-
-
-def build_coarse_plan(
-    tets: np.ndarray,
-    station_id: np.ndarray,
-    slot: np.ndarray,
-    ni: int,
-    nj: int,
-    slots_per_station: int,
-    num_nodes: int,
-    group: tuple[int, int] = (8, 8),
-) -> CoarsePlan:
-    st = np.asarray(station_id).astype(np.int64)
-    sl = np.asarray(slot).astype(np.int64)
-    K = int(slots_per_station)
-    D = 3 * K
-    ii, jj = st // nj, st % nj
-    gi, gj = ii // group[0], jj // group[1]
-    ngj = (nj + group[1] - 1) // group[1]
-    ngi = (ni + group[0] - 1) // group[0]
-    cs = gi * ngj + gj  # coarse station of each node's station
-    Sc = ngi * ngj
-    nc = Sc * D
-
-    tets = np.asarray(tets).astype(np.int64)
-    n_corners = tets.shape[1]
-    cdof_base = (cs * D + 3 * sl).astype(np.int64)  # per fine node
-    ct = cdof_base[tets]  # (T, corners)
-
-    T = len(tets)
-    aa, bb = np.meshgrid(np.arange(n_corners), np.arange(n_corners), indexing="ij")
-    pair_t = np.repeat(np.arange(T), n_corners * n_corners)
-    pair_a = np.tile(aa.ravel(), T)
-    pair_b = np.tile(bb.ravel(), T)
-    pair_seg = ct[pair_t, pair_a] * nc + ct[pair_t, pair_b]
-
-    return CoarsePlan(
-        pair_t=pair_t.astype(np.int32),
-        pair_a=pair_a.astype(np.int8),
-        pair_b=pair_b.astype(np.int8),
-        pair_seg=pair_seg,
-        node_cdof=cdof_base.astype(np.int32),
-        nc=nc,
-    )
-
-
-def coarse_plan_device_arrays(plan: CoarsePlan) -> dict:
-    return {
-        "pair_t": jnp.asarray(plan.pair_t),
-        "pair_a": jnp.asarray(plan.pair_a.astype(np.int32)),
-        "pair_b": jnp.asarray(plan.pair_b.astype(np.int32)),
-        "pair_seg": jnp.asarray(plan.pair_seg),
-        "node_cdof": jnp.asarray(plan.node_cdof),
-    }
-
-
-def coarse_inverse(plan, tets, grads, vols, lam, mu, free_mask, nc=None, ns_iters: int = 40):
-    """Dense inverse of the Galerkin coarse operator Ac = P^T (m A m) P."""
-    if isinstance(plan, CoarsePlan):
-        nc = plan.nc
-        plan = coarse_plan_device_arrays(plan)
-    ga = grads[plan["pair_t"], plan["pair_a"]]  # (P,3)
-    gb = grads[plan["pair_t"], plan["pair_b"]]
-    v = vols[plan["pair_t"]]
-    eye = jnp.eye(3, dtype=grads.dtype)
-    kab = v[:, None, None] * (
-        lam * ga[:, :, None] * gb[:, None, :]
-        + mu * gb[:, :, None] * ga[:, None, :]
-        + mu * (ga * gb).sum(axis=1)[:, None, None] * eye
-    )  # (P,3,3)
-    # mask constrained fine dofs out of the restriction: kab_ij *= m_ai * m_bj
-    free3 = free_mask.reshape(-1, 3)
-    fa = free3[tets[plan["pair_t"], plan["pair_a"]]]  # (P,3)
-    fb = free3[tets[plan["pair_t"], plan["pair_b"]]]
-    kab = kab * fa[:, :, None] * fb[:, None, :]
-    offs = jnp.arange(3)
-    seg = (
-        plan["pair_seg"][:, None, None] + offs[None, :, None] * nc + offs[None, None, :]
-    ).reshape(-1)
-    flat = jax.ops.segment_sum(kab.reshape(-1), seg, num_segments=nc * nc)
-    Ac = flat.reshape(nc, nc)
-    d = jnp.diagonal(Ac)
-    Ac = Ac + jnp.eye(nc, dtype=Ac.dtype) * jnp.where(d > 0, 0.0, 1.0)
-    return spd_block_inverse(Ac[None], ns_iters=ns_iters)[0]
-
-
-def make_two_level(M_line, Ac_inv, node_cdof, nc: int, free_mask):
-    """M(r) = M_line(r) + P Ac^-1 P^T r (additive two-level preconditioner)."""
-    offs = jnp.arange(3)
-    dof_seg = (node_cdof[:, None] + offs[None, :]).reshape(-1)  # (N*3,)
-
-    def M(r_flat):
-        z1 = M_line(r_flat)
-        r = r_flat * free_mask
-        rc = jax.ops.segment_sum(r, dof_seg, num_segments=nc)
-        zc = (Ac_inv * rc[None, :]).sum(axis=1)
-        z2 = zc[dof_seg] * free_mask
-        return z1 + z2
-
-    return M
-
-
 def spd_block_inverse(B, ns_iters: int = 30, ridge: float = 0.0):
     """Batched SPD inverse: symmetric Jacobi scaling + Newton-Schulz iteration.
 
