@@ -148,7 +148,8 @@ def line_blocks(plan, grads, vols, lam, mu, free_mask, S=None, K=None):
 def line_blocks_from_pairs(kab, plan, free_mask, S, K):
     """Scatter precomputed (P,3,3) same-station pair blocks into per-station
     matrices, apply BC masking, scale, invert. Shared by the tet4 path
-    (line_blocks) and the tet10 path (tet10_pair_values)."""
+    (line_blocks); the tet10 path builds its blocks with sliced loops
+    (tet10_line_blocks)."""
     D = 3 * K
     offs = jnp.arange(3)
     seg = (
