@@ -1,0 +1,97 @@
+"""CLI smoke tests: the batch scripts run end-to-end on a tiny dataset in a
+temp dir (the reference's only test was exactly this kind of E2E run)."""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def _load(name: str):
+    spec = importlib.util.spec_from_file_location(name, ROOT / "scripts" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli_root"))
+    gg = _load("generate_geometry_dataset")
+    rc = gg.main(["--count", "3", "--seed", "7", "--no_glb", "--data_root", root])
+    assert rc == 0
+    gm = _load("generate_mesh_dataset")
+    rc = gm.main(["--n_chord", "12", "--n_span", "8", "--n_thick", "2", "--data_root", root])
+    assert rc == 0
+    gf = _load("generate_fem_dataset")
+    rc = gf.main(["--pressure", "1000", "--tol", "1e-6", "--maxiter", "20000",
+                  "--data_root", root])
+    assert rc == 0
+    return root
+
+
+def test_cli_pipeline_artifacts(tiny_dataset):
+    root = Path(tiny_dataset)
+    assert (root / "data" / "params.csv").exists()
+    assert (root / "data" / "mesh.csv").exists()
+    assert (root / "data" / "fem.csv").exists()
+    manifest = json.loads((root / "data" / "manifest.json").read_text())
+    assert manifest["fem_last_run"]["success"] == 3
+    for i in range(1, 4):
+        npz = root / "data" / "raw" / "fem" / f"{i:03d}" / "surface_results.npz"
+        z = np.load(npz)
+        assert np.isfinite(z["stress_vm"]).all()
+
+
+def test_cli_batched_fem_matches_sequential(tiny_dataset):
+    """--batched --force reproduces the sequential results."""
+    root = Path(tiny_dataset)
+    before = {
+        i: np.load(root / "data" / "raw" / "fem" / f"{i:03d}" / "surface_results.npz")[
+            "stress_vm"
+        ].copy()
+        for i in range(1, 4)
+    }
+    gf = _load("generate_fem_dataset")
+    rc = gf.main(["--pressure", "1000", "--tol", "1e-8", "--maxiter", "30000",
+                  "--batched", "--force", "--data_root", str(root)])
+    assert rc == 0
+    for i in range(1, 4):
+        after = np.load(
+            root / "data" / "raw" / "fem" / f"{i:03d}" / "surface_results.npz"
+        )["stress_vm"]
+        scale = max(float(before[i].max()), 1.0)
+        err = np.abs(after - before[i]) / scale
+        # two converged f32 solves: pointwise agreement is bounded by the f32
+        # solve floor at the TE wedge (~1e-2 of max; see ARCHITECTURE.md), the
+        # bulk must agree tightly
+        assert err.max() < 2e-2
+        assert err.mean() < 1e-3
+
+
+def test_cli_validator(tiny_dataset):
+    vd = _load("validate_dataset")
+    rc = vd.main(["--min_solved", "3", "--data_root", tiny_dataset])
+    assert rc == 0
+
+
+def test_cli_glb_repair(tiny_dataset):
+    root = Path(tiny_dataset)
+    # corrupt one GLB (write non-binary content), then repair
+    from tpufem.viz.results import stl_to_glb
+
+    geo = root / "data" / "raw" / "geometry" / "001"
+    stl_to_glb(geo / "wing.stl", geo / "wing_viz.glb")
+    (geo / "wing_viz.glb").write_text("not a glb")
+    rg = _load("repair_geometry_glb")
+    rc = rg.main(["--data_root", str(root)])
+    assert rc == 0
+    from tpufem.viz.glb import is_binary_glb
+
+    assert is_binary_glb(geo / "wing_viz.glb")
