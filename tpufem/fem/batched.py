@@ -71,11 +71,24 @@ class WingBatchContext:
         self.inc_mask = jnp.asarray(inc_mask, dtype=dtype)
         self.line_plan = build_line_plan(topo)
         self._plan_arrays = plan_device_arrays(self.line_plan)
+        # RBM two-level coarse correction (see tpufem.fem.precond /
+        # batched_t: required for f32 convergence at ~100k DOF)
+        from tpufem.fem.precond import build_rbm_groups
+
+        node_group, self.n_groups = build_rbm_groups(
+            topo.station_id, topo.slot, res.n_chord + 1, res.n_span + 1
+        )
+        self.node_group = jnp.asarray(node_group)
         self._jit_chunk = jax.jit(self._cg_chunk, static_argnames=("tol", "maxiter"))
         self._jit_recover = jax.jit(self._recover)
 
     def _case_system(self, p, pressure, lam, mu):
-        from tpufem.fem.precond import line_blocks, make_line_preconditioner
+        from tpufem.fem.precond import (
+            line_blocks,
+            make_line_preconditioner,
+            make_rbm_two_level,
+            rbm_coarse_inverse,
+        )
 
         nodes = nodes_from_params(
             self.node_basis, p[0], p[1], p[2], p[3], te_floor=self.te_floor
@@ -95,6 +108,11 @@ class WingBatchContext:
             self._plan_arrays, Binv,
             S=self.line_plan.num_stations, K=self.line_plan.K,
         )
+        Ac_inv, dvec = rbm_coarse_inverse(
+            self.node_group, self.n_groups, self.tets, nodes, grads, vols,
+            lam, mu, self.free_mask,
+        )
+        M = make_rbm_two_level(M, Ac_inv, self.node_group, self.n_groups, dvec, self.free_mask)
         return nodes, grads, vols, b, A, M
 
     def _cg_chunk(self, params4, pressure, lam, mu, x0, tol, maxiter):
