@@ -14,7 +14,9 @@ from pathlib import Path
 import numpy as np
 
 _SRC = Path(__file__).parent / "meshcore.cpp"
-_SO = Path(__file__).parent / "meshcore.so"
+# lib- prefix keeps pkgutil/import machinery from mistaking the ctypes
+# library for a Python extension module
+_SO = Path(__file__).parent / "libmeshcore.so"
 _lib = None
 _build_failed = False
 
