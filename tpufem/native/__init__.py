@@ -14,9 +14,9 @@ from pathlib import Path
 import numpy as np
 
 _SRC = Path(__file__).parent / "meshcore.cpp"
-# lib- prefix keeps pkgutil/import machinery from mistaking the ctypes
-# library for a Python extension module
-_SO = Path(__file__).parent / "libmeshcore.so"
+# built into a non-package subdir so import machinery never mistakes the
+# ctypes library for a Python extension module
+_SO = Path(__file__).parent / "_build" / "libmeshcore.so"
 _lib = None
 _build_failed = False
 
@@ -27,6 +27,7 @@ def _load():
         return _lib
     try:
         if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            _SO.parent.mkdir(parents=True, exist_ok=True)
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
                  str(_SRC), "-o", str(_SO)],
