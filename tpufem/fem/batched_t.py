@@ -56,9 +56,22 @@ def _cross(u, v):
 
 
 class WingBatchT:
-    """Fixed-topology trailing-batch wing solver at one resolution."""
+    """Fixed-topology trailing-batch wing solver at one resolution.
 
-    def __init__(self, res: WingMeshResolution, dtype=jnp.float32):
+    mg_levels != 0 swaps the line+RBM two-level preconditioner for the
+    geometric multigrid V-cycle (tpufem.fem.multigrid) — measured necessary to
+    reach the >=20x headline (BASELINE.md): MG removes the O(1/h^2) iteration
+    growth the two-level only dampens. mg_levels=None auto-sizes the
+    hierarchy; an int pins the level count.
+    """
+
+    def __init__(
+        self,
+        res: WingMeshResolution,
+        dtype=jnp.float32,
+        mg_levels: int | None = 0,
+        mg_kwargs: dict | None = None,
+    ):
         topo = wing_topology(res)
         self.res = res
         self.dtype = dtype
@@ -115,9 +128,18 @@ class WingBatchT:
         # per-tet group of each corner
         self.tet_group = jnp.asarray(node_group[topo.tets])  # (T,4)
 
+        self.mg = None
+        if mg_levels != 0:
+            from tpufem.fem.multigrid import WingMGT, build_hierarchy
+
+            hier = build_hierarchy(res, n_levels=mg_levels)
+            self.mg = WingMGT(hier, dtype=dtype, **(mg_kwargs or {}))
+
         self._jit_setup = jax.jit(self._setup)
         self._jit_chunk = jax.jit(self._chunk, static_argnames=("tol", "maxiter"))
         self._jit_chunk_fast = jax.jit(self._chunk_fast, static_argnames=("tol", "maxiter"))
+        self._jit_setup_mg = jax.jit(self._setup_mg)
+        self._jit_chunk_mg = jax.jit(self._chunk_mg, static_argnames=("tol", "maxiter"))
         self._jit_recover = jax.jit(self._recover)
 
     # ---------------------------------------------------------------- pieces
@@ -363,6 +385,59 @@ class WingBatchT:
         Ac_inv = spd_block_inverse(Acsq, ns_iters=40, ridge=3e-4)  # (B,nc,nc)
         return nodes, grads, vols, b, Binv, Ac_inv, dvec
 
+    def _setup_mg(self, p4, pressure, lam, mu):
+        """Geometry + loads + multigrid state (preconditioner = V-cycle)."""
+        nodes = self._nodes(p4)
+        grads, vols = self._grads_vols(nodes)
+        v = nodes[self.upper]
+        area_vec = 0.5 * _cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+        f_vert = (-pressure / 3.0) * area_vec
+        F = self.upper.shape[0]
+        f3 = jnp.broadcast_to(f_vert[:, None, :, :], (F, 3, 3, f_vert.shape[-1]))
+        b = jax.ops.segment_sum(
+            f3.reshape(-1, 3, f_vert.shape[-1]), self.upper.reshape(-1),
+            num_segments=self.num_nodes,
+        )
+        b = b * self.free[:, :, None]
+        mg_state = self.mg.setup(p4, lam, mu, level0=(nodes, grads, vols))
+        return nodes, grads, vols, b, mg_state
+
+    def _chunk_mg(self, grads, vols, b, mg_state, x0, lam, mu, tol, maxiter):
+        def dot(u_, v_):
+            return (u_ * v_).sum(axis=(0, 1))  # (B,)
+
+        x = x0
+        r = b - self._apply_A(grads, vols, x, lam, mu)
+        z = self.mg.apply(mg_state, r)
+        p = z
+        rz = dot(r, z)
+        bn = jnp.sqrt(dot(b, b))
+        bn = jnp.where(bn > 0, bn, 1.0)
+        tol2 = (tol * bn) ** 2
+
+        def cond(st):
+            _, r, _, _, _, k = st
+            return jnp.any(dot(r, r) > tol2) & (k < maxiter)
+
+        def step(st):
+            x, r, p, z, rz, k = st
+            rr = dot(r, r)
+            done = (rr <= tol2) | ~jnp.isfinite(rr)
+            Ap = self._apply_A(grads, vols, p, lam, mu)
+            denom = dot(p, Ap)
+            alpha = jnp.where(done | (denom == 0), 0.0, rz / jnp.where(denom == 0, 1.0, denom))
+            x = x + alpha[None, None, :] * p
+            r = r - alpha[None, None, :] * Ap
+            z = self.mg.apply(mg_state, r)
+            rz_new = dot(r, z)
+            beta = jnp.where(done | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+            p = z + beta[None, None, :] * p
+            return (x, r, p, z, jnp.where(done, rz, rz_new), k + 1)
+
+        x, r, p, z, rz, k = jax.lax.while_loop(cond, step, (x, r, p, z, rz, jnp.int32(0)))
+        rel = jnp.sqrt(dot(r, r)) / bn
+        return x, k, rel, rel <= tol
+
     def _apply_M(self, Binv, Ac_inv, dvec, r):
         # line-block solve
         rs = r[self.station_nodes].reshape(self.S, self.D, -1)  # (S,D,B)
@@ -478,10 +553,24 @@ class WingBatchT:
         lam = jnp.asarray(lam, self.dtype)
         mu = jnp.asarray(mu, self.dtype)
         press = jnp.asarray(pressure, self.dtype)
-        nodes, grads, vols, b, Binv, Ac_inv, dvec = self._jit_setup(p4, press, lam, mu)
         B = p4.shape[0]
         total = 0
         rel = conv = None
+        if self.mg is not None:
+            nodes, grads, vols, b, mg_state = self._jit_setup_mg(p4, press, lam, mu)
+            mg_state = self.mg.finalize(mg_state, np.asarray(p4), float(lam), float(mu))
+            x = jnp.zeros((self.num_nodes, 3, B), self.dtype)
+            while total < maxiter:
+                step = min(chunk_iters, maxiter - total)
+                x, k, rel, conv = self._jit_chunk_mg(
+                    grads, vols, b, mg_state, x, lam, mu, tol=tol, maxiter=step
+                )
+                total += int(k)
+                if bool(jnp.all(conv)) or int(k) < step:
+                    break
+            u, s6, vm = self._jit_recover(grads, vols, x, lam, mu)
+            return BatchTSolveResult(nodes, u, s6, vm, total, rel, conv)
+        nodes, grads, vols, b, Binv, Ac_inv, dvec = self._jit_setup(p4, press, lam, mu)
         if fast_layout:
             grads_n = jnp.transpose(grads, (1, 2, 3, 0))  # (4,3,B,T)
             vols_n = jnp.swapaxes(vols, 0, 1)  # (B,T)
