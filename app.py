@@ -20,6 +20,7 @@ from pathlib import Path
 from tpufem.app_core import (
     VIEW_MODES,
     case_glbs,
+    ai_status,
     engineering_report,
     list_cases,
     model_summary,
@@ -47,6 +48,7 @@ def build_gradio_app(paths):
             str(glbs["right"]) if glbs["right"] else None,
             report,
             str(png) if png else None,
+            ai_status(paths, case_id),
         )
 
     with gr.Blocks(title="tpufem — UAV wing FEM vs AI") as demo:
@@ -58,13 +60,14 @@ def build_gradio_app(paths):
             left = gr.Model3D(label="FEM")
             right = gr.Model3D(label="AI")
         report = gr.Markdown()
-        hist = gr.Image(label="stress histogram")
+        hist = gr.Image(label="stress histogram (FEM vs AI)")
+        status = gr.Markdown()
         gr.Markdown("## Model summary\n" + model_summary(paths))
         for comp in (dd, view):
-            comp.change(on_change, [dd, view], [left, right, report, hist])
+            comp.change(on_change, [dd, view], [left, right, report, hist, status])
         if cases:
             demo.load(lambda: on_change(cases[0], VIEW_MODES[0]), None,
-                      [left, right, report, hist])
+                      [left, right, report, hist, status])
     return demo
 
 
@@ -153,7 +156,8 @@ def build_static_site(paths, out_dir: Path) -> Path:
             case_id=cid,
             fem_glb=fem_rel or "",
             right_viewer=right_viewer,
-            report_html=_md_to_html(engineering_report(paths, cid)),
+            report_html=_md_to_html(engineering_report(paths, cid))
+            + f"<p><i>{_html.escape(ai_status(paths, cid))}</i></p>",
             hist_img=f'<img src="{cid}/hist.png">' if png else "",
             nav='<a href="index.html">back to index</a>',
         )

@@ -76,6 +76,14 @@ def main(argv: list[str] | None = None) -> int:
                 values=err.astype(np.float32), vmin=0.0, vmax=float(err.max() or 1.0),
                 colormap=hot,
             )
+        # persist predictions so the dashboard can overlay FEM vs AI
+        # histograms without re-running the model (reference app.py:306-391)
+        np.savez_compressed(
+            fem_dir / "pred_results.npz",
+            node_id=surf["node_id"],
+            pred_pa=pred_pa.astype(np.float32),
+            loss_mask=surf["loss_mask"],
+        )
         report = {
             "case_id": cid,
             "metrics": metrics,

@@ -165,6 +165,38 @@ def test_app_core(pipeline_run):
     assert safety_factor_band(300.0)[1] == "YIELD EXCEEDED"
 
 
+def test_histogram_overlays_cached_predictions(pipeline_run, tmp_path):
+    """FEM-vs-AI comparison histogram (reference app.py:306-391): with a
+    cached pred_results.npz the PNG must include the AI distribution, and the
+    AI status line must report the inference metrics."""
+    paths, _, _, _ = pipeline_run
+    from tpufem.app_core import ai_status, stress_histogram_png
+
+    fem_dir = paths.fem_case("001")
+    z = np.load(fem_dir / "surface_results.npz")
+    assert "run scripts/inference_gnn.py" in ai_status(paths, "001")
+    png_fem_only = stress_histogram_png(paths, "001", tmp_path / "fem_only.png")
+    assert png_fem_only is not None and png_fem_only.exists()
+
+    # fake cached predictions + inference report (as the inference CLI writes)
+    np.savez_compressed(
+        fem_dir / "pred_results.npz",
+        node_id=z["node_id"],
+        pred_pa=(z["stress_vm"] * 1.05).astype(np.float32),
+        loss_mask=z["loss_mask"],
+    )
+    (fem_dir / "inference_report.json").write_text(json.dumps({
+        "case_id": "001",
+        "metrics": {"masked_nodes": {"mae_pa": 2.0e5, "rmse_pa": 3.0e5,
+                                     "max_err_pa": 1.0e6, "rel_mae": 0.02}},
+        "inference_time_ms": 12.0,
+    }))
+    png = stress_histogram_png(paths, "001", tmp_path / "overlay.png")
+    assert png is not None and png.exists()
+    assert png.stat().st_size != png_fem_only.stat().st_size  # AI series drawn
+    assert "MAE 0.200 MPa" in ai_status(paths, "001")
+
+
 def test_static_dashboard(pipeline_run, tmp_path):
     paths, _, _, _ = pipeline_run
     import app as app_mod
@@ -181,3 +213,74 @@ def test_verify_easy_case(tmp_path):
     results = verify_pipeline(tmp_path, pressure=100.0, resolution=COARSE,
                               cases=SPEC_CASES[:1])
     assert results[0].passed, results[0].details
+
+
+def _write_msh2(path, mesh):
+    lines = ["$MeshFormat", "2.2 0 8", "$EndMeshFormat", "$Nodes", str(mesh.num_nodes)]
+    for i, p in enumerate(mesh.nodes, 1):
+        lines.append(f"{i} {p[0]:.9g} {p[1]:.9g} {p[2]:.9g}")
+    lines += ["$EndNodes", "$Elements", str(mesh.num_tets)]
+    for i, t in enumerate(mesh.tets + 1, 1):
+        lines.append(f"{i} 4 2 0 1 {t[0]} {t[1]} {t[2]} {t[3]}")
+    lines += ["$EndElements", ""]
+    path.write_text("\n".join(lines))
+
+
+def test_external_msh_ingestion_end_to_end(tmp_path):
+    """User-supplied .msh -> mesh.npz + boundary sets -> FEM solve -> artifacts
+    (the reference's external-mesh path, meshing.py:602-753 / fem.py:468)."""
+    import jax.numpy as jnp
+
+    from tpufem.fem.driver import WingSolveConfig
+    from tpufem.mesher import COARSE, structured_wing_mesh
+    from tpufem.pipeline.config import get_paths
+    from tpufem.pipeline.fem_stage import run_fem_case
+    from tpufem.pipeline.mesh_stage import run_mesh_case
+    from tpufem.pipeline.types import WingParams
+
+    params = WingParams(span_m=1.2, chord_m=0.35, sweep_deg=10.0, thickness_ratio=0.10)
+    src = structured_wing_mesh(1.2, 0.35, 10.0, 0.10, COARSE)
+    msh = tmp_path / "user_wing.msh"
+    _write_msh2(msh, src)
+
+    paths = get_paths(tmp_path / "data")
+    m = run_mesh_case(params, "ext1", paths, user_msh=msh)
+    assert m.status == "success", m.failure_reason
+    assert m.extra["mesh_source"].startswith("user_msh:")
+    assert m.extra["num_nodes"] == src.num_nodes
+
+    # external meshes have no thickness-line structure -> structure-free path
+    # (Jacobi PCG; f64 for reliable convergence without the line blocks)
+    cfg = WingSolveConfig(pressure=100.0, tol=1e-8, dtype=jnp.float64, two_level=False)
+    f = run_fem_case(params, "ext1", paths, pressure=100.0, solve_config=cfg)
+    assert f.status == "success", f.failure_reason
+    z = np.load(paths.fem_case("ext1") / "surface_results.npz")
+    assert np.isfinite(z["stress_vm"]).all()
+    assert z["disp"][:, 2].mean() < 0  # downward under upper pressure
+
+
+def test_fem_retry_ladder_rescues_f32_divergence(tmp_path):
+    """The hard spec case (span 2.0, chord 0.2, sweep 30, t/c 0.05) on a
+    sharp-TE mesh makes f32 PCG blow up (nan after 1 iter — the known failure
+    mode of the PRD corner); the recovery ladder must rescue it with the f64
+    attempt and record every attempt (spec.md:240-250's retry policy, tpufem-
+    native)."""
+    import jax.numpy as jnp
+
+    from tpufem.fem.driver import WingSolveConfig
+    from tpufem.mesher import WingMeshResolution
+    from tpufem.pipeline.geometry_stage import run_geometry_case
+
+    hard = WingParams(span_m=2.0, chord_m=0.2, sweep_deg=30.0, thickness_ratio=0.05)
+    paths = get_paths(tmp_path / "data").ensure()
+    run_geometry_case(hard, paths, case_id="hard")
+    m = run_mesh_case(hard, "hard", paths, resolution=WingMeshResolution(32, 16, 3))
+    assert m.status == "success", m.failure_reason
+    cfg = WingSolveConfig(pressure=5e3, tol=1e-6, dtype=jnp.float32,
+                          maxiter=3000, refine_steps=0)
+    f = run_fem_case(hard, "hard", paths, pressure=5e3, solve_config=cfg)
+    assert f.status == "success", f.failure_reason
+    ladder = f.extra["solve_ladder"]
+    assert ladder[0]["attempt"] == "primary" and not ladder[0]["ok"]
+    assert ladder[-1]["ok"] and ladder[-1]["dtype"] == "float64"
+    assert "spans" in f.extra and any(k.startswith("solve_") for k in f.extra["spans"])

@@ -150,7 +150,11 @@ def engineering_report(paths: Paths, case_id: str) -> str:
 
 
 def stress_histogram_png(paths: Paths, case_id: str, out_path: Path) -> Path | None:
-    """FEM-vs-AI stress histogram PNG (reference app.py:306-391)."""
+    """FEM-vs-AI stress histogram PNG (reference app.py:306-391).
+
+    The AI distribution comes from `pred_results.npz` cached by the inference
+    CLI (scripts/inference_gnn.py); shared bins so the two histograms compare
+    directly."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -161,12 +165,17 @@ def stress_histogram_png(paths: Paths, case_id: str, out_path: Path) -> Path | N
         return None
     z = np.load(npz_p)
     vm = z["stress_vm"][z["loss_mask"]] / 1e6
+    pred_p = paths.fem_case(case_id) / "pred_results.npz"
+    pred = None
+    if pred_p.exists():
+        pz = np.load(pred_p)
+        pred = pz["pred_pa"][pz["loss_mask"]] / 1e6
     fig, ax = plt.subplots(figsize=(7, 3.2), dpi=110)
-    ax.hist(vm, bins=60, alpha=0.65, label="FEM", color="#3366aa")
-    inf_p = paths.fem_case(case_id) / "inference_report.json"
-    if inf_p.exists():
-        # re-predict is expensive; show FEM only unless predictions are cached
-        pass
+    hi = max(float(vm.max()), float(pred.max()) if pred is not None else 0.0)
+    bins = np.linspace(0.0, max(hi, 1e-9), 61)
+    ax.hist(vm, bins=bins, alpha=0.65, label="FEM", color="#3366aa")
+    if pred is not None:
+        ax.hist(pred, bins=bins, alpha=0.55, label="AI prediction", color="#cc5533")
     ax.set_xlabel("von Mises stress [MPa] (masked nodes)")
     ax.set_ylabel("count")
     ax.legend()
@@ -174,6 +183,20 @@ def stress_histogram_png(paths: Paths, case_id: str, out_path: Path) -> Path | N
     fig.savefig(out_path)
     plt.close(fig)
     return out_path
+
+
+def ai_status(paths: Paths, case_id: str) -> str:
+    """One-line AI inference status for the dashboard panel
+    (reference app.py:355-391's AI status text)."""
+    inf_p = paths.fem_case(case_id) / "inference_report.json"
+    if not inf_p.exists():
+        return "AI: no inference for this case (run scripts/inference_gnn.py)"
+    rep = json.loads(inf_p.read_text())
+    mm = rep["metrics"]["masked_nodes"]
+    return (
+        f"AI: MAE {mm['mae_pa']/1e6:.3f} MPa ({100*mm['rel_mae']:.2f}% rel), "
+        f"inference {rep.get('inference_time_ms', 0):.0f} ms"
+    )
 
 
 def model_summary(paths: Paths) -> str:

@@ -558,62 +558,13 @@ class WingMGT:
         dense stiffness in numpy f64 and attach its inverse (symmetric Jacobi
         scaling + LAPACK). Call once per setup, outside jit; p4 is the (B,4)
         parameter array as numpy."""
-        Kb = self._coarsest_dense_host(np.asarray(p4, np.float64), float(lam), float(mu))
-        d = np.einsum("bii->bi", Kb)
-        s = 1.0 / np.sqrt(np.maximum(d, 1e-300))
-        Ks = Kb * s[:, :, None] * s[:, None, :]
-        Kinv = np.linalg.inv(Ks) * s[:, :, None] * s[:, None, :]
+        Kinv = coarsest_dense_inverse_host(
+            self._coarsest_host, np.asarray(p4, np.float64), float(lam), float(mu)
+        )
         st = dict(state[-1])
         st["Kinv"] = jnp.asarray(Kinv, self.dtype)
         return state[:-1] + [st]
 
-    def _coarsest_dense_host(self, p4, lam, mu):
-        """(B, 3N, 3N) f64 coarsest stiffness with identity rows on constrained
-        dofs — numpy twin of dense_stiffness_t (kept exact where the device
-        f32 assembly cancels catastrophically)."""
-        lh = self._coarsest_host
-        basis = lh.topo.node_basis  # f64
-        tets = lh.topo.tets.astype(np.int64)
-        N = lh.topo.num_nodes
-        B = p4.shape[0]
-        span, chord, sweep, t = (p4[:, i] for i in range(4))
-        s_, yfrac, zfrac, zbase = (basis[:, i] for i in range(4))
-        y = yfrac[:, None] * span[None, :]
-        x = s_[:, None] * chord[None, :] + np.tan(np.deg2rad(sweep))[None, :] * y
-        half = np.maximum(t[None, :] * zbase[:, None], lh.topo.te_floor * s_[:, None])
-        z = chord[None, :] * half * zfrac[:, None]
-        nodes = np.stack([x, y, z], axis=1)  # (N,3,B)
-        xt = np.moveaxis(nodes[tets], -1, 0)  # (B,T,4,3)
-        e = xt[:, :, 1:] - xt[:, :, :1]  # (B,T,3,3)
-        det = np.linalg.det(e)
-        vols = det / 6.0
-        inv = np.linalg.inv(np.where(np.abs(det)[..., None, None] > 0, e, np.eye(3)))
-        g123 = np.swapaxes(inv, -1, -2)  # rows = columns of inv(J)
-        g0 = -g123.sum(axis=2, keepdims=True)
-        grads = np.concatenate([g0, g123], axis=2)  # (B,T,4,3)
-        K = np.zeros((B, 3 * N, 3 * N))
-        eye3 = np.eye(3)
-        for a in range(4):
-            ga = grads[:, :, a]  # (B,T,3)
-            ta = tets[:, a]
-            for c in range(4):
-                gb = grads[:, :, c]
-                dot = (ga * gb).sum(axis=-1)
-                kab = vols[..., None, None] * (
-                    lam * ga[..., :, None] * gb[..., None, :]
-                    + mu * gb[..., :, None] * ga[..., None, :]
-                    + mu * dot[..., None, None] * eye3
-                )  # (B,T,3,3)
-                for b in range(B):
-                    np.add.at(
-                        K[b].reshape(N, 3, N, 3),
-                        (ta, slice(None), tets[:, c], slice(None)),
-                        kab[b],
-                    )
-        m = lh.free3.reshape(-1).astype(np.float64)  # (3N,)
-        K = K * m[None, :, None] * m[None, None, :]
-        K += np.eye(3 * N)[None] * (1.0 - m)[None, :, None]
-        return K
 
     # -- apply ---------------------------------------------------------------
     def _chebyshev(self, A, M, r0, lmax, degree, alpha):
@@ -661,3 +612,62 @@ class WingMGT:
         rr = r - A(x)
         x = x + self._chebyshev(A, M, rr, st["lmax"], self.smooth_degree, self.smooth_alpha)
         return x
+
+
+def coarsest_dense_inverse_host(lh: MGLevelHost, p4, lam, mu):
+    """(B, 3N, 3N) f64 inverse of the coarsest welded stiffness, assembled in
+    numpy f64 (the device f32 assembly cancels away the global bending modes
+    — the coarsest sits at cond ~1e13) and inverted with symmetric Jacobi
+    scaling + LAPACK."""
+    Kb = _coarsest_dense_host(lh, p4, lam, mu)
+    d = np.einsum("bii->bi", Kb)
+    s = 1.0 / np.sqrt(np.maximum(d, 1e-300))
+    Ks = Kb * s[:, :, None] * s[:, None, :]
+    return np.linalg.inv(Ks) * s[:, :, None] * s[:, None, :]
+
+
+def _coarsest_dense_host(lh: MGLevelHost, p4, lam, mu):
+    """(B, 3N, 3N) f64 coarsest stiffness with identity rows on constrained
+    dofs — numpy twin of dense_stiffness_t."""
+    basis = lh.topo.node_basis  # f64
+    tets = lh.topo.tets.astype(np.int64)
+    N = lh.topo.num_nodes
+    B = p4.shape[0]
+    span, chord, sweep, t = (p4[:, i] for i in range(4))
+    s_, yfrac, zfrac, zbase = (basis[:, i] for i in range(4))
+    y = yfrac[:, None] * span[None, :]
+    x = s_[:, None] * chord[None, :] + np.tan(np.deg2rad(sweep))[None, :] * y
+    half = np.maximum(t[None, :] * zbase[:, None], lh.topo.te_floor * s_[:, None])
+    z = chord[None, :] * half * zfrac[:, None]
+    nodes = np.stack([x, y, z], axis=1)  # (N,3,B)
+    xt = np.moveaxis(nodes[tets], -1, 0)  # (B,T,4,3)
+    e = xt[:, :, 1:] - xt[:, :, :1]  # (B,T,3,3)
+    det = np.linalg.det(e)
+    vols = det / 6.0
+    inv = np.linalg.inv(np.where(np.abs(det)[..., None, None] > 0, e, np.eye(3)))
+    g123 = np.swapaxes(inv, -1, -2)  # rows = columns of inv(J)
+    g0 = -g123.sum(axis=2, keepdims=True)
+    grads = np.concatenate([g0, g123], axis=2)  # (B,T,4,3)
+    K = np.zeros((B, 3 * N, 3 * N))
+    eye3 = np.eye(3)
+    for a in range(4):
+        ga = grads[:, :, a]  # (B,T,3)
+        ta = tets[:, a]
+        for c in range(4):
+            gb = grads[:, :, c]
+            dot = (ga * gb).sum(axis=-1)
+            kab = vols[..., None, None] * (
+                lam * ga[..., :, None] * gb[..., None, :]
+                + mu * gb[..., :, None] * ga[..., None, :]
+                + mu * dot[..., None, None] * eye3
+            )  # (B,T,3,3)
+            for b in range(B):
+                np.add.at(
+                    K[b].reshape(N, 3, N, 3),
+                    (ta, slice(None), tets[:, c], slice(None)),
+                    kab[b],
+                )
+    m = lh.free3.reshape(-1).astype(np.float64)  # (3N,)
+    K = K * m[None, :, None] * m[None, None, :]
+    K += np.eye(3 * N)[None] * (1.0 - m)[None, :, None]
+    return K

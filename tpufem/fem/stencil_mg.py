@@ -1,0 +1,617 @@
+"""Grid-native geometric multigrid on the stencil operator (tpufem.fem.stencil).
+
+Same mathematics as tpufem.fem.multigrid (semi-coarsening, line-Chebyshev
+smoothing, exact host-f64 dense coarsest) but every piece is expressed on the
+(3, B, NI, NK, NJ) grid layout with slicing only:
+
+  - operator apply: 15-offset shifted-slice SpMV (measured 4.4x faster than
+    the incidence-gather form at 109k DOF, batch 8, on the v5e);
+  - thickness-line blocks: sliced directly out of the (0,0,dk) stencil
+    coefficients — no pair tables, no segment_sum;
+  - transfers: three 1D interpolation passes (s-weighted along the chord,
+    0.5/0.5 along span/thickness) as strided slice sums, with the weld
+    spread/reduce wraps keeping restriction the exact transpose.
+
+This is the production preconditioner for the >=20x headline (BASELINE.md);
+tpufem.fem.multigrid remains as the layout-agnostic reference implementation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.precond import spd_block_inverse
+from tpufem.fem.stencil import (
+    assemble_stencil,
+    cell_geometry,
+    from_grid,
+    nodes_grid,
+    strain_apply,
+    to_grid,
+    weld_reduce,
+    weld_spread,
+)
+
+_LINE_OFFSETS = ((0, 0, -1), (0, 0, 0), (0, 0, 1))
+from tpufem.mesher import WingMeshResolution
+
+
+def coarsen_resolution(res: WingMeshResolution) -> WingMeshResolution:
+    nt = res.n_thick // 2 if (res.n_thick % 2 == 0 and res.n_thick >= 2) else res.n_thick
+    return WingMeshResolution(
+        res.n_chord // 2, res.n_span // 2, nt, res.te_floor_frac, res.spacing
+    )
+
+
+def hierarchy_resolutions(
+    res: WingMeshResolution, n_levels: int | None = None, min_stations: int = 3
+):
+    out = [res]
+    while n_levels is None or len(out) < n_levels:
+        r = out[-1]
+        if (
+            r.n_chord % 2
+            or r.n_span % 2
+            or r.n_chord // 2 < min_stations
+            or r.n_span // 2 < min_stations
+        ):
+            break
+        out.append(coarsen_resolution(r))
+    if n_levels is not None and len(out) != n_levels:
+        raise ValueError(f"cannot build {n_levels} levels from {res}")
+    return out
+
+
+# ------------------------------------------------------------- 1D transfers
+
+
+def _chord_weights(res_f: WingMeshResolution, dtype):
+    """(wL, wR) for odd fine chord stations, linear in the physical s coord."""
+    from tpufem.geometry import cosine_stations, le_stations
+
+    s = (le_stations if res_f.spacing == "le" else cosine_stations)(res_f.n_chord)
+    sL, sR = s[0:-1:2], s[2::2]  # coarse neighbors of each odd fine station
+    wL = (sR - s[1::2]) / np.maximum(sR - sL, 1e-300)
+    return jnp.asarray(wL, dtype), jnp.asarray(1.0 - wL, dtype)
+
+
+def _interp_axis(xc, axis, n_fine, wL, wR):
+    """1D prolongation along `axis`: even fine = coarse; odd fine = wL*left +
+    wR*right. wL/wR are scalars or per-odd-station arrays."""
+    nc = xc.shape[axis]
+    shape = list(xc.shape)
+    shape[axis] = n_fine
+    out = jnp.zeros(shape, xc.dtype)
+
+    def sl(a, s):
+        idx = [slice(None)] * len(shape)
+        idx[a] = s
+        return tuple(idx)
+
+    out = out.at[sl(axis, slice(0, None, 2))].set(xc)
+    left = xc[sl(axis, slice(0, nc - 1))]
+    right = xc[sl(axis, slice(1, nc))]
+    if isinstance(wL, jnp.ndarray) and wL.ndim == 1:
+        bshape = [1] * len(shape)
+        bshape[axis] = wL.shape[0]
+        wL = wL.reshape(bshape)
+        wR = wR.reshape(bshape)
+    out = out.at[sl(axis, slice(1, None, 2))].set(wL * left + wR * right)
+    return out
+
+
+def _restrict_axis(xf, axis, wL, wR):
+    """Exact transpose of _interp_axis: coarse[I] = fine[2I] +
+    wR[I-1]*fine[2I-1] + wL[I]*fine[2I+1]."""
+    nf = xf.shape[axis]
+    nc = (nf + 1) // 2
+
+    def sl(a, s):
+        idx = [slice(None)] * xf.ndim
+        idx[a] = s
+        return tuple(idx)
+
+    even = xf[sl(axis, slice(0, None, 2))]
+    odd = xf[sl(axis, slice(1, None, 2))]  # (nc-1) entries
+    if isinstance(wL, jnp.ndarray) and wL.ndim == 1:
+        bshape = [1] * xf.ndim
+        bshape[axis] = wL.shape[0]
+        wL = wL.reshape(bshape)
+        wR = wR.reshape(bshape)
+    out = even
+    pad_lo = [(0, 0)] * xf.ndim
+    pad_lo[axis] = (1, 0)
+    pad_hi = [(0, 0)] * xf.ndim
+    pad_hi[axis] = (0, 1)
+    out = out + jnp.pad(wR * odd, pad_lo)  # odd I-1 feeds coarse I
+    out = out + jnp.pad(wL * odd, pad_hi)  # odd I feeds coarse I
+    return out
+
+
+# ------------------------------------------------------------- the MG class
+
+
+class StencilMG:
+    """Batched grid-layout V-cycle preconditioner + solver plumbing."""
+
+    def __init__(
+        self,
+        res: WingMeshResolution,
+        dtype=jnp.float32,
+        n_levels: int | None = None,
+        smooth_degree: int = 2,
+        smooth_alpha: float = 0.25,
+        power_iters: int = 10,
+        lmax_safety: float = 1.2,
+    ):
+        self.dtype = dtype
+        self.smooth_degree = smooth_degree
+        self.smooth_alpha = smooth_alpha
+        self.power_iters = power_iters
+        self.lmax_safety = lmax_safety
+        self.resolutions = hierarchy_resolutions(res, n_levels)
+        self.n_levels = len(self.resolutions)
+        self.chord_w = [
+            _chord_weights(self.resolutions[i], dtype) for i in range(self.n_levels - 1)
+        ]
+        # duplicate-zero masks (active form keeps weld duplicates at zero)
+        self.dup_masks = []
+        self.free_masks = []
+        for r in self.resolutions:
+            NK = r.n_thick + 1
+            m = np.ones((1, 1, r.n_chord + 1, NK, r.n_span + 1), np.float32)
+            m[:, :, 0, 1:, :] = 0.0
+            if r.te_floor_frac == 0.0:
+                m[:, :, -1, 1:, :] = 0.0
+            self.dup_masks.append(jnp.asarray(m, dtype))
+            f = np.ones((1, 1, 1, 1, r.n_span + 1), np.float32)
+            f[..., 0] = 0.0
+            self.free_masks.append(jnp.asarray(f, dtype))
+        # host-side coarsest machinery (reuses the multigrid module's exact
+        # f64 dense assembly; it lives in welded-node space)
+        from tpufem.fem.multigrid import _level_host
+
+        self._coarsest_host = _level_host(self.resolutions[-1])
+
+    # ---- per-level operator
+    def _apply_A(self, li, st, x):
+        return strain_apply(
+            self.resolutions[li], st["geo"], x, self.free_masks[li], st["lam"], st["mu"]
+        )
+
+    def _line_blocks(self, li, C):
+        """(NI, NJ, D, D, B) inverted thickness-line blocks from the stencil's
+        same-station offsets, with weld collapse and Dirichlet identity."""
+        r = self.resolutions[li]
+        NI, NJ, NK = r.n_chord + 1, r.n_span + 1, r.n_thick + 1
+        D = 3 * NK
+        nb = C[(0, 0, 0)].shape[2]
+        Bm = jnp.zeros((NI, NJ, NK, 3, NK, 3, nb), self.dtype)
+        for dk in (-1, 0, 1):
+            Co = C.get((0, 0, dk))
+            if Co is None:
+                continue
+            # (3,3,B,NI,NK,NJ) -> (NI,NJ,NK,3,3,B)
+            Cp = jnp.transpose(Co, (3, 5, 4, 0, 1, 2))
+            for k in range(NK):
+                k2 = k + dk
+                if 0 <= k2 < NK:
+                    Bm = Bm.at[:, :, k, :, k2, :].set(Cp[:, :, k])
+        Bm = Bm.reshape(NI, NJ, D, D, nb)
+        # weld lines: collapse to a 3x3 block at slot 0, identity elsewhere
+        welds = [0] + ([NI - 1] if r.te_floor_frac == 0.0 else [])
+        eyeD = jnp.eye(D, dtype=self.dtype)
+        for iw in welds:
+            blk = Bm[iw].reshape(NJ, NK, 3, NK, 3, nb).sum(axis=(1, 3))  # (NJ,3,3,B)
+            row = jnp.broadcast_to(eyeD[None, :, :, None], (NJ, D, D, nb))
+            row = row.at[:, :3, :3, :].set(blk)
+            Bm = Bm.at[iw].set(row)
+        # Dirichlet (j=0): identity block
+        Bm = Bm.at[:, 0].set(jnp.broadcast_to(eyeD[None, :, :, None], (NI, D, D, nb)))
+        flat = jnp.moveaxis(Bm, -1, 2).reshape(NI * NJ * nb, D, D)
+        inv = spd_block_inverse(flat)
+        return jnp.moveaxis(inv.reshape(NI, NJ, nb, D, D), 2, -1)  # (NI,NJ,D,D,B)
+
+    def _line_apply(self, li, Binv, rg):
+        """z = line-block solve; rg (3,B,NI,NK,NJ) active form."""
+        r = self.resolutions[li]
+        NI, NJ, NK = r.n_chord + 1, r.n_span + 1, r.n_thick + 1
+        D = 3 * NK
+        rs = jnp.transpose(rg, (2, 4, 3, 0, 1)).reshape(NI, NJ, D, -1)  # (NI,NJ,D,B)
+        zs = (Binv * rs[:, :, None, :, :]).sum(axis=3)  # (NI,NJ,D,B)
+        z = jnp.transpose(zs.reshape(NI, NJ, NK, 3, -1), (3, 4, 0, 2, 1))
+        return z * self.dup_masks[li] * self.free_masks[li]
+
+    # ---- transfers (fine li -> coarse li+1 and back)
+    def _prolong(self, li, xc):
+        rf, rc = self.resolutions[li], self.resolutions[li + 1]
+        x = weld_spread(rc, xc)
+        wL, wR = self.chord_w[li]
+        x = _interp_axis(x, 2, rf.n_chord + 1, wL, wR)  # chord (axis 2)
+        if rc.n_thick != rf.n_thick:
+            x = _interp_axis(x, 3, rf.n_thick + 1, 0.5, 0.5)  # thickness
+        x = _interp_axis(x, 4, rf.n_span + 1, 0.5, 0.5)  # span
+        return x * self.dup_masks[li] * self.free_masks[li]
+
+    def _restrict(self, li, rf_vec):
+        rf, rc = self.resolutions[li], self.resolutions[li + 1]
+        x = rf_vec * self.dup_masks[li] * self.free_masks[li]
+        x = _restrict_axis(x, 4, 0.5, 0.5)
+        if rc.n_thick != rf.n_thick:
+            x = _restrict_axis(x, 3, 0.5, 0.5)
+        wL, wR = self.chord_w[li]
+        x = _restrict_axis(x, 2, wL, wR)
+        x = weld_reduce(rc, x)
+        return x * self.free_masks[li + 1]
+
+    # ---- smoothing
+    def _chebyshev(self, A, M, r0, lmax, degree, alpha):
+        lmin = alpha * lmax
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+
+        def bc(v):  # (B,) over (3,B,NI,NK,NJ)
+            return v[None, :, None, None, None]
+
+        d = M(r0) / bc(theta)
+        x = d
+        for _ in range(degree - 1):
+            r = r0 - A(x)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = bc(rho_new * rho) * d + bc(2.0 * rho_new / delta) * M(r)
+            x = x + d
+            rho = rho_new
+        return x
+
+    def _power_lmax(self, li, A, M, nb):
+        r = self.resolutions[li]
+        NI, NJ, NK = r.n_chord + 1, r.n_span + 1, r.n_thick + 1
+        v = jnp.sin(jnp.arange(NI * NK * NJ * 3, dtype=self.dtype) * 0.7311).reshape(
+            3, 1, NI, NK, NJ
+        )
+        v = jnp.broadcast_to(v, (3, nb, NI, NK, NJ))
+        v = v * self.dup_masks[li] * self.free_masks[li]
+        lam = jnp.ones((nb,), self.dtype)
+        for _ in range(self.power_iters):
+            w = M(A(v))
+            nrm = jnp.sqrt((w * w).sum(axis=(0, 2, 3, 4)))
+            lam = nrm
+            v = w / jnp.maximum(nrm, 1e-30)[None, :, None, None, None]
+        return lam * self.lmax_safety
+
+    # ---- setup / finalize / apply
+    def setup(self, p4, lam, mu):
+        """Traced per-case state: stencils + line inverses + lmax per level."""
+        state = []
+        nb = p4.shape[0]
+        for li, r in enumerate(self.resolutions):
+            st = {"lam": lam, "mu": mu}
+            X = nodes_grid(r, p4, self.dtype)
+            st["geo"] = cell_geometry(r, X)  # strain-form operator (f32-safe)
+            if li < self.n_levels - 1:
+                # assembled coefficients only for the line blocks (noise-tolerant)
+                C_line = assemble_stencil(r, X, lam, mu, offsets=_LINE_OFFSETS)
+                st["Binv"] = self._line_blocks(li, C_line)
+                A = lambda x: self._apply_A(li, st, x)  # noqa: E731
+                M = lambda rr: self._line_apply(li, st["Binv"], rr)  # noqa: E731
+                st["lmax"] = self._power_lmax(li, A, M, nb)
+            state.append(st)
+        return state
+
+    def finalize(self, state, p4, lam, mu):
+        """Host post-pass: exact f64 dense inverse of the coarsest level."""
+        from tpufem.fem.multigrid import coarsest_dense_inverse_host
+
+        Kinv = coarsest_dense_inverse_host(
+            self._coarsest_host, np.asarray(p4, np.float64), float(lam), float(mu)
+        )
+        st = dict(state[-1])
+        st["Kinv"] = jnp.asarray(Kinv, self.dtype)
+        return state[:-1] + [st]
+
+    def apply(self, state, rg):
+        return self._vcycle(state, 0, rg)
+
+    def _vcycle(self, state, li, rg):
+        st = state[li]
+        if li == self.n_levels - 1:
+            r = self.resolutions[li]
+            rv = from_grid(r, rg)  # (N,3,B)
+            flat = rv.reshape(-1, rv.shape[-1])
+            z = jnp.einsum("bij,jb->ib", st["Kinv"], flat, precision="highest")
+            return to_grid(r, z.reshape(rv.shape))
+        A = lambda x: self._apply_A(li, st, x)  # noqa: E731
+        M = lambda rr: self._line_apply(li, st["Binv"], rr)  # noqa: E731
+        x = self._chebyshev(A, M, rg, st["lmax"], self.smooth_degree, self.smooth_alpha)
+        rr = rg - A(x)
+        rc = self._restrict(li, rr)
+        xc = self._vcycle(state, li + 1, rc)
+        x = x + self._prolong(li, xc)
+        rr = rg - A(x)
+        x = x + self._chebyshev(A, M, rr, st["lmax"], self.smooth_degree, self.smooth_alpha)
+        return x
+
+
+# -------------------------------------------------------------- solver class
+
+
+class WingStencilT:
+    """Batched wing solver on the stencil engine: MG-PCG over grid arrays.
+
+    Drop-in alternative to tpufem.fem.batched_t.WingBatchT (same solve()
+    result contract) with the CG loop running entirely in the stencil grid
+    layout; loads and stress recovery reuse the gather-path machinery once
+    per solve.
+    """
+
+    def __init__(
+        self,
+        res: WingMeshResolution,
+        dtype=jnp.float32,
+        mg_levels: int | None = None,
+        mg_kwargs: dict | None = None,
+    ):
+        from tpufem.fem.batched_t import WingBatchT
+
+        self.res = res
+        self.dtype = dtype
+        self.bt = WingBatchT(res, dtype=dtype)  # loads + recovery machinery
+        self.num_nodes = self.bt.num_nodes
+        self.smg = StencilMG(res, dtype=dtype, n_levels=mg_levels, **(mg_kwargs or {}))
+        self._jit_setup = jax.jit(self._setup)
+        self._jit_chunk = jax.jit(self._chunk, static_argnames=("tol", "maxiter"))
+        self._jit_resid64 = jax.jit(self._resid64)
+        self._jit_setup64 = jax.jit(self._setup64)
+        self._jit_chunk64 = jax.jit(self._chunk64, static_argnames=("tol", "maxiter"))
+
+    def _loads_grid(self, nodes, pressure, dtype):
+        """Pressure load vector in grid form from welded node coords (N,3,B)."""
+        from tpufem.fem.batched_t import _cross
+
+        bt = self.bt
+        v = nodes[bt.upper]
+        area_vec = 0.5 * _cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+        f_vert = (-pressure / 3.0) * area_vec
+        F = bt.upper.shape[0]
+        f3 = jnp.broadcast_to(f_vert[:, None, :, :], (F, 3, 3, f_vert.shape[-1]))
+        b = jax.ops.segment_sum(
+            f3.reshape(-1, 3, f_vert.shape[-1]), bt.upper.reshape(-1),
+            num_segments=bt.num_nodes,
+        )
+        b = b * bt.free[:, :, None].astype(dtype)
+        return to_grid(self.res, b)
+
+    def _setup64(self, p464, press64):
+        """f64 geometry + load vector for the f64-outer CG."""
+        f64 = jnp.float64
+        X64 = nodes_grid(self.res, p464, f64)
+        geo64 = cell_geometry(self.res, X64)
+        nodes64 = from_grid(self.res, X64)
+        bg64 = self._loads_grid(nodes64, press64, f64)
+        return geo64, bg64
+
+    def _chunk64(self, geo64, bg64, state, x0, lam64, mu64, tol, maxiter):
+        """CG with the operator and state in f64 (emulated on TPU) and the
+        f32 V-cycle as preconditioner. The f32 operator state floors CG's
+        TRUE residual around 2e-6..4e-6 relative at 100k DOF (measured;
+        mixed-precision refinement inherits the same floor because the
+        correction systems are solved with the same f32 operator) — an f64
+        operator removes the floor while the preconditioner stays cheap."""
+        smg = self.smg
+        f64 = jnp.float64
+        free64 = smg.free_masks[0].astype(f64)
+
+        def A(x):
+            return strain_apply(self.res, geo64, x, free64, lam64, mu64)
+
+        def M(r):
+            return smg.apply(state, r.astype(self.dtype)).astype(f64)
+
+        def dot(u_, v_):
+            return (u_ * v_).sum(axis=(0, 2, 3, 4))  # (B,)
+
+        x = x0
+        r = bg64 - A(x)
+        z = M(r)
+        p = z
+        rz = dot(r, z)
+        bn = jnp.sqrt(dot(bg64, bg64))
+        bn = jnp.where(bn > 0, bn, 1.0)
+        tol2 = (tol * bn) ** 2
+
+        def cond(st):
+            _, r, _, _, _, k = st
+            return jnp.any(dot(r, r) > tol2) & (k < maxiter)
+
+        def step(st):
+            x, r, p, z, rz, k = st
+            rr = dot(r, r)
+            done = (rr <= tol2) | ~jnp.isfinite(rr)
+            Ap = A(p)
+            denom = dot(p, Ap)
+            alpha = jnp.where(done | (denom == 0), 0.0, rz / jnp.where(denom == 0, 1.0, denom))
+            bca = alpha[None, :, None, None, None]
+            x = x + bca * p
+            r = r - bca * Ap
+            z = M(r)
+            rz_new = dot(r, z)
+            beta = jnp.where(done | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+            p = z + beta[None, :, None, None, None] * p
+            return (x, r, p, z, jnp.where(done, rz, rz_new), k + 1)
+
+        x, r, p, z, rz, k = jax.lax.while_loop(cond, step, (x, r, p, z, rz, jnp.int32(0)))
+        rel = jnp.sqrt(dot(r, r)) / bn
+        return x, k, rel, rel <= tol
+
+    def _resid64(self, p464, press64, lam64, mu64, xg64):
+        """TRUE f64 residual of the f64-assembled system (geometry, loads and
+        operator all rebuilt in f64 inside ONE jit — eager per-op dispatch of
+        the emulated-f64 pipeline costs tens of seconds over the axon tunnel,
+        and an f32 load vector alone floors the refinement near 1e-7)."""
+        f64 = jnp.float64
+        X64 = nodes_grid(self.res, p464, f64)
+        geo64 = cell_geometry(self.res, X64)
+        nodes64 = from_grid(self.res, X64)
+        bg64 = self._loads_grid(nodes64, press64, f64)
+        free64 = self.smg.free_masks[0].astype(f64)
+        r = bg64 - strain_apply(self.res, geo64, xg64, free64, lam64, mu64)
+        bn = jnp.sqrt((bg64 * bg64).sum(axis=(0, 2, 3, 4)))
+        rn = jnp.sqrt((r * r).sum(axis=(0, 2, 3, 4)))
+        return r, rn / jnp.where(bn > 0, bn, 1.0)
+
+    def _setup(self, p4, pressure, lam, mu):
+        bt = self.bt
+        nodes = bt._nodes(p4)
+        grads, vols = bt._grads_vols(nodes)
+        bg = self._loads_grid(nodes, pressure, self.dtype)
+        state = self.smg.setup(p4, lam, mu)
+        return nodes, grads, vols, bg, state
+
+    def _chunk(self, bg, state, x0, tol, maxiter):
+        smg = self.smg
+
+        def A(x):
+            return smg._apply_A(0, state[0], x)
+
+        # f64 accumulation (emulated on TPU; requires jax_enable_x64, silently
+        # stays f32 otherwise): f32 reduction noise in alpha/beta is what
+        # stalls CG's TRUE residual around 2e-6 at 100k+ DOF (measured; same
+        # lesson as the round-1 fast-layout experiment)
+        def dot(u_, v_):
+            acc = (u_.astype(jnp.float64) * v_.astype(jnp.float64)).sum(axis=(0, 2, 3, 4))
+            return acc.astype(self.dtype)  # (B,)
+
+        x = x0
+        r = bg - A(x)
+        z = smg.apply(state, r)
+        p = z
+        rz = dot(r, z)
+        bn = jnp.sqrt(dot(bg, bg))
+        bn = jnp.where(bn > 0, bn, 1.0)
+        tol2 = (tol * bn) ** 2
+
+        def cond(st):
+            _, r, _, _, _, k = st
+            return jnp.any(dot(r, r) > tol2) & (k < maxiter)
+
+        def step(st):
+            x, r, p, z, rz, k = st
+            rr = dot(r, r)
+            done = (rr <= tol2) | ~jnp.isfinite(rr)
+            Ap = A(p)
+            denom = dot(p, Ap)
+            alpha = jnp.where(done | (denom == 0), 0.0, rz / jnp.where(denom == 0, 1.0, denom))
+            bca = alpha[None, :, None, None, None]
+            x = x + bca * p
+            r = r - bca * Ap
+            z = smg.apply(state, r)
+            rz_new = dot(r, z)
+            beta = jnp.where(done | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+            p = z + beta[None, :, None, None, None] * p
+            return (x, r, p, z, jnp.where(done, rz, rz_new), k + 1)
+
+        x, r, p, z, rz, k = jax.lax.while_loop(cond, step, (x, r, p, z, rz, jnp.int32(0)))
+        rel = jnp.sqrt(dot(r, r)) / bn
+        return x, k, rel, rel <= tol
+
+    def _run_cg(self, bg, state, tol, maxiter, chunk_iters, xg=None):
+        xg = jnp.zeros_like(bg) if xg is None else xg
+        total = 0
+        rel = conv = None
+        while total < maxiter:
+            step = min(chunk_iters, maxiter - total)
+            xg, k, rel, conv = self._jit_chunk(bg, state, xg, tol=tol, maxiter=step)
+            total += int(k)
+            if bool(jnp.all(conv)) or int(k) < step:
+                break
+        return xg, total, rel, conv
+
+    def solve(
+        self,
+        params4,
+        pressure: float = 5e3,
+        material=None,
+        tol: float = 1e-6,
+        maxiter: int = 20000,
+        chunk_iters: int = 1000,
+        refine_steps: int = 0,
+        inner_tol: float = 1e-3,
+        outer_f64: bool = False,
+    ):
+        """Batched MG-PCG solve; refine_steps > 0 adds mixed-precision
+        iterative refinement: the f32 CG floor on PRD-corner wings sits around
+        rel 1e-2..1e-4, so each refinement step evaluates the TRUE residual
+        with an f64 strain-form operator (requires jax_enable_x64; emulated
+        f64 on TPU — one operator application per step) and re-solves the
+        correction in f32 to `inner_tol`. Convergence is then judged on the
+        f64 residual against `tol` — a STRICTER bar than f32 CG's own
+        criterion."""
+        from tpufem.fem.batched_t import BatchTSolveResult
+        from tpufem.fem.material import Material, lame_params
+
+        material = material or Material()
+        p4 = jnp.asarray(params4, self.dtype)
+        lam, mu = lame_params(material)
+        lam = jnp.asarray(lam, self.dtype)
+        mu = jnp.asarray(mu, self.dtype)
+        press = jnp.asarray(pressure, self.dtype)
+        nodes, grads, vols, bg, state = self._jit_setup(p4, press, lam, mu)
+        state = self.smg.finalize(state, np.asarray(p4), float(lam), float(mu))
+
+        if outer_f64:
+            # f64-operator CG with the f32 V-cycle preconditioner (see
+            # _chunk64); honest f64 residuals, no refinement loop needed.
+            f64 = jnp.float64
+            p464 = jnp.asarray(params4, f64)
+            press64 = jnp.asarray(pressure, f64)
+            lam64, mu64 = (jnp.asarray(v, f64) for v in lame_params(material))
+            geo64, bg64 = self._jit_setup64(p464, press64)
+            x64 = jnp.zeros_like(bg64)
+            total = 0
+            rel = conv = None
+            while total < maxiter:
+                step = min(chunk_iters, maxiter - total)
+                x64, k, rel, conv = self._jit_chunk64(
+                    geo64, bg64, state, x64, lam64, mu64, tol=tol, maxiter=step
+                )
+                total += int(k)
+                if bool(jnp.all(conv)) or int(k) < step:
+                    break
+            x = from_grid(self.res, x64.astype(self.dtype))
+            u, s6, vm = self.bt._jit_recover(grads, vols, x, lam, mu)
+            return BatchTSolveResult(nodes, u, s6, vm, total, rel, conv)
+
+        if refine_steps <= 0:
+            xg, total, rel, conv = self._run_cg(bg, state, tol, maxiter, chunk_iters)
+            x = from_grid(self.res, xg)  # (N,3,B)
+            u, s6, vm = self.bt._jit_recover(grads, vols, x, lam, mu)
+            return BatchTSolveResult(nodes, u, s6, vm, total, rel, conv)
+
+        f64 = jnp.float64
+        p464 = jnp.asarray(params4, f64)
+        press64 = jnp.asarray(pressure, f64)
+        lam64, mu64 = (jnp.asarray(v, f64) for v in lame_params(material))
+
+        xg, total, _, _ = self._run_cg(bg, state, inner_tol, maxiter, chunk_iters)
+        x64 = xg.astype(f64)
+        rel = None
+        for _ in range(refine_steps):
+            r64, rel = self._jit_resid64(p464, press64, lam64, mu64, x64)
+            if bool(jnp.all(rel <= tol)):
+                break
+            rnorm = jnp.sqrt((r64 * r64).sum(axis=(0, 2, 3, 4)))  # (B,)
+            safe = jnp.where(rnorm > 0, rnorm, 1.0)[None, :, None, None, None]
+            cg, it, _, _ = self._run_cg(
+                (r64 / safe).astype(self.dtype), state, inner_tol, maxiter, chunk_iters
+            )
+            x64 = x64 + cg.astype(f64) * safe
+            total += it
+        r64, rel = self._jit_resid64(p464, press64, lam64, mu64, x64)
+        conv = rel <= tol
+        x = from_grid(self.res, x64.astype(self.dtype))
+        u, s6, vm = self.bt._jit_recover(grads, vols, x, lam, mu)
+        return BatchTSolveResult(nodes, u, s6, vm, total, rel, conv)

@@ -24,6 +24,7 @@ from tpufem.fem.material import Material
 from tpufem.pipeline.config import Paths
 from tpufem.pipeline.mesh_stage import load_mesh_npz
 from tpufem.pipeline.reports import timed, write_report
+from tpufem.utils.profiling import StageTimer, solver_stats
 from tpufem.pipeline.types import StepReport, WingParams
 from tpufem.sets import BoundarySets
 from tpufem.viz.arrows import make_pressure_arrows
@@ -83,12 +84,47 @@ def run_fem_case(
                     raise ValueError("empty NROOT or SURF_UPPER set")
 
                 cfg = solve_config or WingSolveConfig(pressure=pressure, material=material)
-                sol = solve_wing_case(mesh, bs, cfg)
+                # Solver recovery ladder (tpufem-native version of the spec'd
+                # retry policy, docs/spec.md:240-250 — which the reference
+                # never implemented): on PCG non-convergence or nan/inf,
+                # retry with mixed-precision refinement, then full f64.
+                import dataclasses
+
+                import jax.numpy as jnp
+
+                timer = StageTimer()
+                ladder = [("primary", cfg)]
+                if cfg.dtype != jnp.float64:
+                    ladder.append(
+                        ("refined", dataclasses.replace(cfg, refine_steps=max(cfg.refine_steps, 2)))
+                    )
+                    ladder.append(
+                        ("float64", dataclasses.replace(cfg, dtype=jnp.float64, refine_steps=0))
+                    )
+                attempts = []
+                sol = None
+                for name, c in ladder:
+                    with timer.span(f"solve_{name}"):
+                        sol = solve_wing_case(mesh, bs, c)
+                    ok = (
+                        bool(np.isfinite(sol.u).all())
+                        and bool(np.isfinite(sol.vm).all())
+                        and sol.converged
+                    )
+                    attempts.append(
+                        {"attempt": name, "dtype": np.dtype(c.dtype).name, "ok": ok,
+                         **solver_stats(sol.iters, sol.rel_residual, sol.converged)}
+                    )
+                    if ok:
+                        break
+                if len(attempts) > 1:
+                    extra["solve_ladder"] = attempts
                 if not np.isfinite(sol.u).all() or not np.isfinite(sol.vm).all():
                     raise ValueError("nan/inf in solution")  # fem.py:620-631 parity
                 if not sol.converged:
                     raise ValueError(
-                        f"PCG not converged: rel_res {sol.rel_residual:.2e} after {sol.iters} iters"
+                        f"PCG not converged: rel_res {sol.rel_residual:.2e} after {sol.iters} iters "
+                        f"(after {len(attempts)} ladder attempts)"
                     )
 
                 surf = surface_results(mesh, bs, sol, span_m=params.span_m)
@@ -114,11 +150,8 @@ def run_fem_case(
                     extra["color_range"] = [vmin, vmax]
 
                 masked = surf["stress_vm"][surf["loss_mask"]]
-                extra["solver"] = {
-                    "iters": sol.iters,
-                    "rel_residual": sol.rel_residual,
-                    "converged": sol.converged,
-                }
+                extra["solver"] = solver_stats(sol.iters, sol.rel_residual, sol.converged)
+                extra["spans"] = timer.report()
                 extra["stress_stats"] = {
                     "all_nodes": _stats(surf["stress_vm"]),
                     "masked_nodes": _stats(masked),

@@ -69,7 +69,13 @@ def run_mesh_case(
     y_tol: float = 1e-4,
     nz_min: float = 0.2,
     make_glb: bool = True,
+    user_msh: Path | str | None = None,
 ) -> StepReport:
+    """Mesh stage: structured parametric wing by default, or ingestion of a
+    user-supplied Gmsh MSH2 file (`user_msh`) — the external-mesh path the
+    reference supports by construction (meshing.py:602-753 via gmsh, fem.py:468
+    via parse_msh2). External meshes carry no thickness-line structure, so the
+    FEM stage falls back to its structure-free preconditioning."""
     case_dir = paths.mesh_case(case_id)
     case_dir.mkdir(parents=True, exist_ok=True)
     mesh_path = case_dir / "mesh.npz"
@@ -84,13 +90,19 @@ def run_mesh_case(
                 mesh = load_mesh_npz(mesh_path)
                 quality = compute_tet_quality(mesh)
             else:
-                mesh = structured_wing_mesh(
-                    params.span_m,
-                    params.chord_m,
-                    params.sweep_deg,
-                    params.thickness_ratio,
-                    resolution,
-                )
+                if user_msh is not None:
+                    from tpufem.msh2 import parse_msh2
+
+                    mesh = parse_msh2(user_msh)
+                    extra["mesh_source"] = f"user_msh:{user_msh}"
+                else:
+                    mesh = structured_wing_mesh(
+                        params.span_m,
+                        params.chord_m,
+                        params.sweep_deg,
+                        params.thickness_ratio,
+                        resolution,
+                    )
                 if mesh.num_nodes > MAX_NODES:
                     raise ValueError(f"mesh too large: {mesh.num_nodes} nodes > {MAX_NODES}")
                 if mesh.num_tets > MAX_TETS:
