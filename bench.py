@@ -7,32 +7,47 @@ Reference baseline: CalculiX takes "minutes" per case on local CPU
 baseline, so vs_baseline = 60 / per_case_seconds (speedup, higher is better).
 
 Measures the BATCHED path (BASELINE config 4): B wing cases solved in one
-vmapped jit call on the real chip, amortized per case. Prints ONE JSON line.
+grid-layout MG-PCG run (tpufem.fem.stencil_mg.WingStencilT — stencil-slice
+operators, geometric multigrid preconditioner, f64-operator outer CG), at
+tol 1e-6 judged on the TRUE f64 residual. Prints ONE JSON line.
+
+Optional: --trace DIR writes a jax.profiler trace of the timed solve
+(tpufem.utils.profiling.trace) for TensorBoard.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+jax.config.update("jax_enable_x64", True)  # f64-outer CG (emulated on TPU)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 BASELINE_SECONDS_PER_CASE = 60.0
 
 
 def main() -> None:
-    from tpufem.fem.batched_t import WingBatchT
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None, help="jax.profiler trace output dir")
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    from tpufem.fem.stencil_mg import WingStencilT
     from tpufem.mesher import DOF100K
     from tpufem.pipeline.types import PRD_RANGES
+    from tpufem.utils.profiling import trace
 
-    batch = 8
-    tol = 1e-5
-    maxiter = 12000
-    chunk = 500
+    batch = args.batch
+    tol = 1e-6
+    maxiter = 2000
+    chunk = 250
 
-    bt = WingBatchT(DOF100K, dtype=jnp.float32)
+    st = WingStencilT(DOF100K, dtype=jnp.float32)
     rng = np.random.default_rng(42)
     p4 = np.stack(
         [
@@ -44,13 +59,14 @@ def main() -> None:
         axis=1,
     ).astype(np.float32)
 
-    # warmup/compile (few iterations)
-    out = bt.solve(p4, pressure=5e3, tol=tol, maxiter=200, chunk_iters=200)
-    out.u.block_until_ready()
+    # warmup/compile
+    out = st.solve(p4, pressure=5e3, tol=tol, maxiter=chunk, chunk_iters=chunk, outer_f64=True)
 
     t0 = time.perf_counter()
-    out = bt.solve(p4, pressure=5e3, tol=tol, maxiter=maxiter, chunk_iters=chunk)
-    out.u.block_until_ready()
+    with trace(args.trace):
+        out = st.solve(
+            p4, pressure=5e3, tol=tol, maxiter=maxiter, chunk_iters=chunk, outer_f64=True
+        )
     elapsed = time.perf_counter() - t0
     per_case = elapsed / batch
 
@@ -63,12 +79,14 @@ def main() -> None:
                 "vs_baseline": round(BASELINE_SECONDS_PER_CASE / per_case, 1),
                 "detail": {
                     "batch": batch,
-                    "dof": int(bt.num_nodes * 3),
-                    "num_tets": int(bt.tets.shape[0]),
+                    "dof": int(st.num_nodes * 3),
                     "iters": int(out.iters),
+                    "tol": tol,
+                    "residual_metric": "true f64 residual of the f64-assembled system",
                     "max_rel_residual": float(np.max(np.asarray(out.rel_residual))),
                     "all_converged": bool(np.all(np.asarray(out.converged))),
                     "total_s": round(elapsed, 3),
+                    "solver": "stencil-grid MG-PCG (f64 operator, f32 V-cycle)",
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -1,0 +1,65 @@
+"""tet10 p-multigrid: transfer transposition + solver correctness vs the
+round-1 two-level tet10 path, and iteration superiority."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpufem.fem.tet10 import solve_tet10_case, tet10_from_tet4, tet10_root_nodes
+from tpufem.fem.tet10_mg import Tet10MGSolver
+from tpufem.mesher import WingMeshResolution, structured_wing_mesh
+from tpufem.sets import build_boundary_sets
+
+RES = WingMeshResolution(16, 16, 4, te_floor_frac=0.006, spacing="le")
+P4 = (1.4, 0.3, 15.0, 0.09)
+
+
+def _setup():
+    mesh = structured_wing_mesh(*P4, RES)
+    bs = build_boundary_sets(mesh)
+    t10 = tet10_from_tet4(mesh)
+    return mesh, bs, t10
+
+
+def test_p_transfer_exact_transpose():
+    _, _, t10 = _setup()
+    solver = Tet10MGSolver(RES, t10, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    u4 = jnp.asarray(rng.normal(size=(solver.N4, 3)))
+    r10 = jnp.asarray(rng.normal(size=(solver.N10, 3)))
+    lhs = float((r10 * solver.prolong(u4)).sum())
+    rhs = float((solver.restrict(r10) * u4).sum())
+    assert np.isclose(lhs, rhs, rtol=1e-12)
+
+
+def test_p_prolong_exact_on_linear_fields():
+    _, _, t10 = _setup()
+    solver = Tet10MGSolver(RES, t10, dtype=jnp.float64)
+    nodes4 = t10.mesh4.nodes
+    nodes10 = t10.nodes10(nodes4)
+    coef = np.array([[0.3, -1.1, 2.0], [0.5, 0.1, -0.7], [1.0, 0.0, 0.2]])
+    u4 = jnp.asarray(nodes4 @ coef)
+    u10 = np.asarray(solver.prolong(u4))
+    ref = nodes10 @ coef
+    free = np.asarray(solver.free)
+    err = np.abs((u10 - ref) * free).max()  # exact away from the clamp mask
+    assert err < 1e-12 * np.abs(ref).max()
+
+
+def test_tet10_mg_matches_two_level_and_is_faster():
+    mesh, bs, t10 = _setup()
+    nroot10 = tet10_root_nodes(t10)
+    from tpufem.fem.tet10 import tet10_upper_t6
+
+    u_ref, vm_ref, it_ref, rel_ref, conv_ref = solve_tet10_case(
+        t10, nroot10, tet10_upper_t6(t10, bs.surf_upper_faces), pressure=5e3,
+        tol=1e-9, maxiter=8000, dtype=jnp.float64,
+        nj2=2 * (RES.n_span + 1) - 1,
+    )
+    assert conv_ref
+
+    solver = Tet10MGSolver(RES, t10, dtype=jnp.float64)
+    out = solver.solve(P4, bs.surf_upper_faces, pressure=5e3, tol=1e-9, maxiter=2000)
+    assert out.converged
+    err = np.abs(out.u - u_ref).max() / np.abs(u_ref).max()
+    assert err < 1e-7
+    assert out.iters < it_ref  # p-MG must beat the tet10 two-level

@@ -1,0 +1,318 @@
+"""p-multigrid for the ~1M-DOF tet10 wing (BASELINE config 5).
+
+Round-1 status: the tet10 system at DOF1M_TET10 did not converge (rel 8e-2
+after 6000 two-level iterations). This module fixes it with p-multigrid:
+
+    tet10 level   — Chebyshev smoothing on the tet10 thickness-line blocks
+                    (tpufem.fem.tet10.tet10_line_blocks on the doubled grid)
+    p-transfer    — the natural P2 -> P1 embedding: corner dofs identity,
+                    midside = mean of its edge endpoints (a linear function's
+                    midside value IS that mean, so prolongation is exact on
+                    the P1 subspace); restriction is the exact transpose
+    tet4 level(s) — one V-cycle of the grid-native stencil multigrid
+                    (tpufem.fem.stencil_mg) on the SAME resolution, which
+                    continues the geometric hierarchy down to the exact dense
+                    coarsest
+
+The whole preconditioner is a fixed linear symmetric operator, so the outer
+loop is plain chunked PCG (chunks bounded for the axon worker); `outer_f64`
+runs the outer operator/state in f64 with the f32 preconditioner, removing
+the f32 true-residual floor (same design as stencil_mg.WingStencilT).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.stencil import from_grid, to_grid
+from tpufem.fem.stencil_mg import StencilMG
+from tpufem.fem.tet10 import (
+    Tet10Mesh,
+    pressure_loads_t6,
+    tet10_force,
+    tet10_line_blocks,
+    tet10_root_nodes,
+    tet10_setup,
+    tet10_stress_nodal,
+    tet10_upper_t6,
+)
+from tpufem.mesher import WingMeshResolution
+
+
+@dataclass
+class Tet10MGResult:
+    u: np.ndarray  # (N10, 3)
+    vm: np.ndarray  # (N10,)
+    iters: int
+    rel_residual: float
+    converged: bool
+
+
+class Tet10MGSolver:
+    """Single-case tet10 MG-PCG solver for the structured wing."""
+
+    def __init__(
+        self,
+        res: WingMeshResolution,
+        t10: Tet10Mesh,
+        dtype=jnp.float32,
+        smooth_degree: int = 2,
+        smooth_alpha: float = 0.25,
+        power_iters: int = 10,
+        lmax_safety: float = 1.2,
+    ):
+        assert t10.station_id is not None, "structured wing tet10 mesh required"
+        self.res = res
+        self.t10 = t10
+        self.dtype = dtype
+        self.smooth_degree = smooth_degree
+        self.smooth_alpha = smooth_alpha
+        self.power_iters = power_iters
+        self.lmax_safety = lmax_safety
+        self.N10 = t10.num_nodes
+        self.N4 = t10.mesh4.num_nodes
+        self.conn = jnp.asarray(t10.tet10)
+        self.edges = jnp.asarray(t10.edge_endpoints.astype(np.int32))  # (M,2)
+        self.S2, self.K2 = t10.num_stations, t10.slots_per_station
+        self.st2 = jnp.asarray(t10.station_id.astype(np.int32))
+        self.sl2 = jnp.asarray(t10.slot.astype(np.int32))
+        station_nodes = np.zeros((self.S2, self.K2), np.int32)
+        station_nodes[t10.station_id, t10.slot] = np.arange(self.N10, dtype=np.int32)
+        self.station_nodes = jnp.asarray(station_nodes)
+        # free mask (root clamp) on tet10 nodes
+        free = np.ones((self.N10, 3), np.float32)
+        free[tet10_root_nodes(t10)] = 0.0
+        self.free = jnp.asarray(free, dtype)
+        # tet4 coarse hierarchy, batch lane B=1
+        self.smg = StencilMG(
+            res, dtype=dtype, smooth_degree=smooth_degree,
+            smooth_alpha=smooth_alpha, power_iters=power_iters,
+            lmax_safety=lmax_safety,
+        )
+        self._jit_setup = jax.jit(self._setup)
+        self._jit_chunk = jax.jit(self._chunk, static_argnames=("tol", "maxiter"))
+        self._jit_chunk64 = jax.jit(self._chunk64, static_argnames=("tol", "maxiter"))
+        self._jit_recover = jax.jit(self._recover)
+
+    # ---------------------------------------------------------- p-transfers
+    def prolong(self, u4):
+        """(N4,3) tet4 -> (N10,3) tet10: P1 embedding into P2."""
+        mids = 0.5 * (u4[self.edges[:, 0]] + u4[self.edges[:, 1]])
+        return jnp.concatenate([u4, mids], axis=0) * self.free
+
+    def restrict(self, r10):
+        """Exact transpose of prolong."""
+        r10 = r10 * self.free
+        r4 = r10[: self.N4]
+        half = 0.5 * r10[self.N4 :]
+        r4 = r4 + jax.ops.segment_sum(half, self.edges[:, 0], num_segments=self.N4)
+        r4 = r4 + jax.ops.segment_sum(half, self.edges[:, 1], num_segments=self.N4)
+        return r4
+
+    # ------------------------------------------------------------- operator
+    def _apply_A(self, Jinv, vols, lam, mu, x):
+        u = x * self.free
+        y = tet10_force(Jinv, vols, self.conn, u, lam, mu, self.N10)
+        return y * self.free + x * (1.0 - self.free)
+
+    def _line_apply(self, Binv, r):
+        rs = r[self.station_nodes].reshape(self.S2, 3 * self.K2, 1)
+        zs = (Binv * rs[:, None, :, 0]).sum(axis=2)
+        zs = zs.reshape(self.S2, self.K2, 3)
+        return zs[self.st2, self.sl2] * self.free
+
+    # ----------------------------------------------------------------- setup
+    def _setup(self, nodes10, p4, pressure, lam, mu):
+        Jinv, vols = tet10_setup(nodes10, self.conn)
+        Binv = tet10_line_blocks(
+            Jinv, vols, self.conn, self.st2, self.sl2, lam, mu,
+            self.free.reshape(-1), S=self.S2, K=self.K2,
+        )
+        # lambda_max of M_line^-1 A by power iteration
+        A = lambda x: self._apply_A(Jinv, vols, lam, mu, x)  # noqa: E731
+        M = lambda r: self._line_apply(Binv, r)  # noqa: E731
+        v = jnp.sin(jnp.arange(self.N10 * 3, dtype=self.dtype) * 0.7311).reshape(-1, 3)
+        v = v * self.free
+        lmax = jnp.asarray(1.0, self.dtype)
+        for _ in range(self.power_iters):
+            w = M(A(v))
+            nrm = jnp.sqrt((w * w).sum())
+            lmax = nrm
+            v = w / jnp.maximum(nrm, 1e-30)
+        lmax = lmax * self.lmax_safety
+        # tet4 coarse state (stencil MG, batch lane 1)
+        smg_state = self.smg.setup(p4[None, :], lam, mu)
+        return Jinv, vols, Binv, lmax, smg_state
+
+    # --------------------------------------------------------- preconditioner
+    def _chebyshev(self, A, M, r0, lmax, degree):
+        lmin = self.smooth_alpha * lmax
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        d = M(r0) / theta
+        x = d
+        for _ in range(degree - 1):
+            r = r0 - A(x)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * M(r)
+            x = x + d
+            rho = rho_new
+        return x
+
+    def apply_M(self, Jinv, vols, Binv, lmax, smg_state, lam, mu, r):
+        """One p-MG V-cycle: tet10 smoothing + tet4 stencil-MG correction."""
+        A = lambda x: self._apply_A(Jinv, vols, lam, mu, x)  # noqa: E731
+        Ml = lambda rr: self._line_apply(Binv, rr)  # noqa: E731
+        x = self._chebyshev(A, Ml, r, lmax, self.smooth_degree)
+        rr = r - A(x)
+        r4 = self.restrict(rr)  # (N4,3)
+        rg = to_grid(self.res, r4[:, :, None])  # (3,1,NI,NK,NJ)
+        rg = rg * self.smg.free_masks[0] * self.smg.dup_masks[0]
+        zg = self.smg._vcycle(smg_state, 0, rg)
+        z4 = from_grid(self.res, zg)[:, :, 0]
+        x = x + self.prolong(z4)
+        rr = r - A(x)
+        x = x + self._chebyshev(A, Ml, rr, lmax, self.smooth_degree)
+        return x
+
+    # --------------------------------------------------------------- CG loop
+    def _chunk(self, Jinv, vols, Binv, lmax, smg_state, lam, mu, b, x0, tol, maxiter):
+        A = lambda x: self._apply_A(Jinv, vols, lam, mu, x)  # noqa: E731
+        M = lambda r: self.apply_M(Jinv, vols, Binv, lmax, smg_state, lam, mu, r)  # noqa: E731
+        return _pcg_flat(A, M, b, x0, tol, maxiter)
+
+    def _chunk64(self, Jinv64, vols64, Binv, lmax, smg_state, lam64, mu64, b64, x0, tol, maxiter):
+        free64 = self.free.astype(jnp.float64)
+
+        def A(x):
+            u = x * free64
+            y = tet10_force(Jinv64, vols64, self.conn, u, lam64, mu64, self.N10)
+            return y * free64 + x * (1.0 - free64)
+
+        lam32 = lam64.astype(self.dtype)
+        mu32 = mu64.astype(self.dtype)
+
+        def M(r):
+            z = self.apply_M(
+                Jinv64.astype(self.dtype), vols64.astype(self.dtype), Binv, lmax,
+                smg_state, lam32, mu32, r.astype(self.dtype),
+            )
+            return z.astype(jnp.float64)
+
+        return _pcg_flat(A, M, b64, x0, tol, maxiter)
+
+    def _recover(self, Jinv, vols, x, lam, mu):
+        u = x * self.free.astype(x.dtype)
+        s6 = tet10_stress_nodal(Jinv, vols, self.conn, u, lam, mu, self.N10)
+        from tpufem.fem.vonmises import von_mises
+
+        return u, von_mises(s6)
+
+    # ------------------------------------------------------------------- API
+    def solve(
+        self,
+        params4,
+        upper_face_idx,
+        pressure: float = 5e3,
+        material=None,
+        tol: float = 1e-6,
+        maxiter: int = 2000,
+        chunk_iters: int = 100,
+        outer_f64: bool = False,
+    ) -> Tet10MGResult:
+        from tpufem.fem.material import Material, lame_params
+
+        material = material or Material()
+        lam, mu = lame_params(material)
+        lam = jnp.asarray(lam, self.dtype)
+        mu = jnp.asarray(mu, self.dtype)
+        p4 = jnp.asarray(np.asarray(params4), self.dtype)
+        nodes10 = jnp.asarray(self.t10.nodes10(self.t10.mesh4.nodes), self.dtype)
+        upper_t6 = jnp.asarray(tet10_upper_t6(self.t10, upper_face_idx))
+        press = jnp.asarray(pressure, self.dtype)
+
+        Jinv, vols, Binv, lmax, smg_state = self._jit_setup(nodes10, p4, press, lam, mu)
+        smg_state = self.smg.finalize(
+            smg_state, np.asarray(params4)[None, :], float(lam), float(mu)
+        )
+        f = pressure_loads_t6(nodes10, upper_t6, press, self.N10)
+        b = f * self.free
+
+        if outer_f64:
+            f64 = jnp.float64
+            nodes64 = jnp.asarray(self.t10.nodes10(self.t10.mesh4.nodes), f64)
+            Jinv64, vols64 = tet10_setup(nodes64, self.conn)
+            lam64 = jnp.asarray(float(lam), f64)
+            mu64 = jnp.asarray(float(mu), f64)
+            b64 = pressure_loads_t6(nodes64, upper_t6, jnp.asarray(pressure, f64), self.N10)
+            b64 = b64 * self.free.astype(f64)
+            x = jnp.zeros_like(b64)
+            run = lambda x, n: self._jit_chunk64(  # noqa: E731
+                Jinv64, vols64, Binv, lmax, smg_state, lam64, mu64, b64, x,
+                tol=tol, maxiter=n,
+            )
+        else:
+            x = jnp.zeros_like(b)
+            run = lambda x, n: self._jit_chunk(  # noqa: E731
+                Jinv, vols, Binv, lmax, smg_state, lam, mu, b, x, tol=tol, maxiter=n
+            )
+
+        total = 0
+        rel = np.inf
+        conv = False
+        while total < maxiter:
+            step = min(chunk_iters, maxiter - total)
+            x, k, rel, conv = run(x, step)
+            total += int(k)
+            rel = float(rel)
+            conv = bool(conv)
+            if conv or int(k) < step:
+                break
+        u, vm = self._jit_recover(Jinv, vols, x.astype(self.dtype), lam, mu)
+        return Tet10MGResult(
+            u=np.asarray(u), vm=np.asarray(vm), iters=total,
+            rel_residual=rel, converged=conv,
+        )
+
+
+def _pcg_flat(A, M, b, x0, tol, maxiter):
+    """Chunk-bounded PCG on (N,3) arrays with lane-free scalars."""
+
+    def dot(u_, v_):
+        return (u_ * v_).sum()
+
+    x = x0
+    r = b - A(x)
+    z = M(r)
+    p = z
+    rz = dot(r, z)
+    bn = jnp.sqrt(dot(b, b))
+    bn = jnp.where(bn > 0, bn, 1.0)
+    tol2 = (tol * bn) ** 2
+
+    def cond(st):
+        _, r, _, _, _, k = st
+        return (dot(r, r) > tol2) & (k < maxiter)
+
+    def step(st):
+        x, r, p, z, rz, k = st
+        Ap = A(p)
+        denom = dot(p, Ap)
+        alpha = jnp.where(denom == 0, 0.0, rz / jnp.where(denom == 0, 1.0, denom))
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = dot(r, z)
+        beta = jnp.where(rz == 0, 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+        p = z + beta * p
+        return (x, r, p, z, rz_new, k + 1)
+
+    x, r, p, z, rz, k = jax.lax.while_loop(cond, step, (x, r, p, z, rz, jnp.int32(0)))
+    rel = jnp.sqrt(dot(r, r)) / bn
+    return x, k, rel, rel <= tol
