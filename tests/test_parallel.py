@@ -14,7 +14,8 @@ from tpufem.parallel.meshes import make_mesh
 from tpufem.parallel.sharded_solver import sharded_pcg_solve
 from tpufem.sets import build_boundary_sets
 
-RES = WingMeshResolution(12, 15, 2)  # 16 span stations -> divisible by 8, 4, 2
+RES = WingMeshResolution(12, 15, 2)  # 16 span stations
+RES_UNEVEN = WingMeshResolution(12, 18, 2)  # 19 span stations: NOT divisible
 PARAMS = (1.2, 0.35, 10.0, 0.10)
 
 
@@ -41,16 +42,62 @@ def test_halo_pcg_matches_single_device(n_dev):
     assert err < 1e-8, err
 
 
+def test_halo_pcg_uneven_slabs():
+    """19 span stations over 8 devices — the divisibility constraint that
+    excluded the flagship resolution in round 1 is gone."""
+    m = structured_wing_mesh(*PARAMS, RES_UNEVEN)
+    bs = build_boundary_sets(m)
+    ref = solve_wing_case(
+        m, bs, WingSolveConfig(pressure=200.0, dtype=jnp.float64, tol=1e-10, maxiter=20000)
+    )
+    assert ref.converged
+    part = build_halo_partition(RES_UNEVEN, 8, *PARAMS, dtype=np.float64)
+    mesh = make_mesh(8)
+    u, iters, rel = halo_pcg_solve(
+        part, mesh, pressure=200.0, tol=1e-10, maxiter=20000, dtype=jnp.float64
+    )
+    assert rel <= 1e-10
+    err = np.linalg.norm(u - ref.u) / np.linalg.norm(ref.u)
+    assert err < 1e-8, err
+
+
+def test_halo_pcg_tet10_matches_single_device():
+    """Sharded tet10 == single-device tet10 (VERDICT round-1 'done' criterion)."""
+    from tpufem.fem.tet10 import (
+        solve_tet10_case,
+        tet10_from_tet4,
+        tet10_root_nodes,
+        tet10_upper_t6,
+    )
+
+    m = structured_wing_mesh(*PARAMS, RES_UNEVEN)
+    bs = build_boundary_sets(m)
+    t10 = tet10_from_tet4(m)
+    u_ref, vm_ref, it_ref, rel_ref, conv_ref = solve_tet10_case(
+        t10, tet10_root_nodes(t10), tet10_upper_t6(t10, bs.surf_upper_faces),
+        pressure=200.0, tol=1e-10, maxiter=30000, dtype=jnp.float64,
+        nj2=2 * (RES_UNEVEN.n_span + 1) - 1,
+    )
+    assert conv_ref
+    part = build_halo_partition(RES_UNEVEN, 4, *PARAMS, dtype=np.float64, element="tet10")
+    mesh = make_mesh(4)
+    u, iters, rel = halo_pcg_solve(
+        part, mesh, pressure=200.0, tol=1e-10, maxiter=30000, dtype=jnp.float64
+    )
+    assert rel <= 1e-10
+    err = np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref)
+    assert err < 1e-8, err
+
+
 def test_halo_partition_invariants():
-    part = build_halo_partition(RES, 4, *PARAMS)
-    # every node owned by exactly one device; layers equal sized
-    assert part.n_local * 4 == part.num_nodes
-    assert part.layer_nodes * 16 == part.num_nodes
+    part = build_halo_partition(RES_UNEVEN, 4, *PARAMS)
+    # every node owned by exactly one device
+    assert int(part.node_mask.sum()) == part.num_nodes
     # permutation is a bijection
     assert len(np.unique(part.perm)) == part.num_nodes
-    # all devices' tets reference valid local range
-    assert part.tets_local.min() >= 0
-    assert part.tets_local.max() < part.n_local + part.layer_nodes
+    # all devices' elements reference valid local range
+    assert part.elems.min() >= 0
+    assert part.elems.max() < part.n_max + part.g_max
 
 
 def test_gspmd_sharded_solve():
