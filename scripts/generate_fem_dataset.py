@@ -54,7 +54,16 @@ def main(argv: list[str] | None = None) -> int:
                          "structured topology, i.e. all meshes at one resolution)")
     ap.add_argument("--batch_size", type=int, default=0,
                     help="chunk batched solve (0 = all at once)")
+    ap.add_argument("--engine", choices=("twolevel", "stencil"), default="twolevel",
+                    help="batched solver engine: 'twolevel' = vmapped gather-path "
+                         "line+RBM PCG; 'stencil' = grid-layout MG-PCG with f64 "
+                         "outer CG (faster, true-f64 residuals; the bench.py path)")
     args = ap.parse_args(argv)
+
+    if args.engine == "stencil":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)  # f64-outer CG
 
     paths = get_paths(args.data_root).ensure()
     material = Material(E=args.E, nu=args.nu)
@@ -137,20 +146,47 @@ def run_batched(paths, case_ids, args, material) -> list[StepReport]:
     res = WingMeshResolution(*res_keys.pop())
 
     ctx = None
+    stencil = None
     reports = []
     chunk = args.batch_size or len(case_ids)
     for lo in range(0, len(case_ids), chunk):
         ids = case_ids[lo : lo + chunk]
         plist = params_list[lo : lo + chunk]
-        out, ctx = solve_wing_batch(
-            [p.as_dict() for p in plist], res,
-            pressure=args.pressure, material=material,
-            tol=args.tol, maxiter=args.maxiter, ctx=ctx,
-        )
-        nodes = np.asarray(out.nodes)
-        u = np.asarray(out.u)
-        s6 = np.asarray(out.stress6)
-        vm = np.asarray(out.vm)
+        if args.engine == "stencil":
+            from tpufem.fem.stencil_mg import WingStencilT
+
+            if stencil is None:
+                stencil = WingStencilT(res)
+            p4 = np.array(
+                [[p.span_m, p.chord_m, p.sweep_deg, p.thickness_ratio] for p in plist],
+                dtype=np.float32,
+            )
+            out = stencil.solve(
+                p4, pressure=args.pressure, material=material,
+                tol=args.tol, maxiter=args.maxiter, outer_f64=True,
+            )
+
+            class _Ctx:  # same fields run_batched's writer consumes
+                tets = stencil.bt.tets
+                surf_faces = stencil.bt.surf_faces
+                sets = stencil.bt.sets
+
+            ctx = _Ctx()
+            # trailing-batch (N,·,B) -> batch-first (B,N,·)
+            nodes = np.moveaxis(np.asarray(out.nodes), -1, 0)
+            u = np.moveaxis(np.asarray(out.u), -1, 0)
+            s6 = np.moveaxis(np.asarray(out.stress6), -1, 0)
+            vm = np.moveaxis(np.asarray(out.vm), -1, 0)
+        else:
+            out, ctx = solve_wing_batch(
+                [p.as_dict() for p in plist], res,
+                pressure=args.pressure, material=material,
+                tol=args.tol, maxiter=args.maxiter, ctx=ctx,
+            )
+            nodes = np.asarray(out.nodes)
+            u = np.asarray(out.u)
+            s6 = np.asarray(out.stress6)
+            vm = np.asarray(out.vm)
         rel = np.asarray(out.rel_residual)
         conv = np.asarray(out.converged)
         iters = np.asarray(out.iters)

@@ -32,13 +32,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n_chord", type=int, default=MEDIUM.n_chord)
     ap.add_argument("--n_span", type=int, default=MEDIUM.n_span)
     ap.add_argument("--n_thick", type=int, default=MEDIUM.n_thick)
+    ap.add_argument("--te_floor_frac", type=float, default=MEDIUM.te_floor_frac,
+                    help="trailing-edge half-thickness floor (fraction of chord); "
+                         "needed for well-conditioned 100k-DOF-class meshes")
+    ap.add_argument("--spacing", choices=("cosine", "le"), default=MEDIUM.spacing)
     ap.add_argument("--y_tol", type=float, default=1e-4)
     ap.add_argument("--nz_min", type=float, default=0.2)
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args(argv)
 
     paths = get_paths(args.data_root).ensure()
-    res = WingMeshResolution(args.n_chord, args.n_span, args.n_thick)
+    res = WingMeshResolution(args.n_chord, args.n_span, args.n_thick,
+                             te_floor_frac=args.te_floor_frac, spacing=args.spacing)
     rows = [r for r in read_csv_rows(paths.data / "params.csv") if r["status"] == "success"]
     # keep only cases whose geometry artifacts exist (reference :58-62)
     rows = [r for r in rows if (paths.geometry_case(r["case_id"]) / "params.json").exists()]

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Solve the flagship ~1M-DOF tet10 wing (BASELINE config 5) on one chip.
+
+Runs the p-multigrid MG-PCG solver (tpufem.fem.tet10_mg) on the DOF1M_TET10
+structured wing at the spec material/pressure, judging convergence on the
+TRUE f64 residual (outer_f64). Prints one JSON line with DOF count, iteration
+count, relative residual and wall time.
+
+Reference analog: the CalculiX solve the reference shells out to
+(/root/reference/src/deep_fem_uav_wing/fem.py:524-533) — which never ran at
+this scale (mesh guardrail caps at 500k nodes, meshing.py:597).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--maxiter", type=int, default=600)
+    ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--pressure", type=float, default=5e3)
+    ap.add_argument("--f32_outer", action="store_true",
+                    help="recurred-f32 residual instead of true f64")
+    ap.add_argument("--refine", type=int, default=6,
+                    help="mixed-precision refinement rounds (f64 true residual "
+                         "+ f32 correction solves); 0 = full f64 outer CG")
+    ap.add_argument("--inner_tol", type=float, default=1e-4)
+    ap.add_argument("--elem_chunk", type=int, default=73344,
+                    help="element-chunked operator application (HBM bound); "
+                         "0 = dense single-kernel apply")
+    args = ap.parse_args()
+
+    from tpufem.fem.tet10 import tet10_from_tet4
+    from tpufem.fem.tet10_mg import Tet10MGSolver
+    from tpufem.mesher import DOF1M_TET10, structured_wing_mesh
+    from tpufem.sets import build_boundary_sets
+
+    p4 = (1.6, 0.4, 20.0, 0.10)
+    t_mesh = time.perf_counter()
+    mesh = structured_wing_mesh(*p4, DOF1M_TET10)
+    bs = build_boundary_sets(mesh)
+    t10 = tet10_from_tet4(mesh)
+    mesh_s = time.perf_counter() - t_mesh
+    dof = 3 * t10.num_nodes
+    print(f"mesh: {t10.num_nodes} tet10 nodes, {len(t10.tet10)} tets, "
+          f"{dof} DOF ({mesh_s:.1f} s host)", flush=True)
+
+    solver = Tet10MGSolver(
+        DOF1M_TET10, t10, dtype=jnp.float32,
+        elem_chunk=args.elem_chunk or None,
+    )
+
+    t0 = time.perf_counter()
+    out = solver.solve(
+        p4, bs.surf_upper_faces, pressure=args.pressure,
+        tol=args.tol, maxiter=args.maxiter, chunk_iters=args.chunk,
+        outer_f64=(args.refine == 0 and not args.f32_outer),
+        refine_steps=0 if args.f32_outer else args.refine,
+        inner_tol=args.inner_tol, progress=True,
+    )
+    wall = time.perf_counter() - t0
+
+    vm = out.vm
+    rec = {
+        "metric": "fem_tet10_1mdof_mg_pcg_single_chip",
+        "value": round(wall, 3),
+        "unit": "s",
+        "detail": {
+            "dof": int(dof),
+            "num_tet10": int(len(t10.tet10)),
+            "iters": int(out.iters),
+            "rel_residual": float(out.rel_residual),
+            "converged": bool(out.converged),
+            "tol": args.tol,
+            "residual_metric": ("recurred f32" if args.f32_outer
+                                 else "true f64 residual"),
+            "mode": ("f32" if args.f32_outer
+                     else f"refine x{args.refine}" if args.refine else "f64 outer"),
+            "max_vm_mpa": round(float(np.max(vm)) / 1e6, 3),
+            "device": jax.devices()[0].device_kind,
+        },
+    }
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -63,3 +63,24 @@ def test_tet10_mg_matches_two_level_and_is_faster():
     err = np.abs(out.u - u_ref).max() / np.abs(u_ref).max()
     assert err < 1e-7
     assert out.iters < it_ref  # p-MG must beat the tet10 two-level
+
+
+def test_tet10_force_elem_chunked_matches_dense():
+    """Chunked operator application (HBM-bounded scan over element blocks,
+    used by the ~2.5M-DOF flagship solve) is exactly the dense apply."""
+    from tpufem.fem.tet10 import tet10_force, tet10_setup
+
+    _, _, t10 = _setup()
+    nodes10 = jnp.asarray(t10.nodes10(t10.mesh4.nodes))
+    conn = jnp.asarray(t10.tet10)
+    Jinv, vols = tet10_setup(nodes10, conn)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=(t10.num_nodes, 3)))
+    lam, mu = 1.1e9, 0.8e9
+    dense = tet10_force(Jinv, vols, conn, u, lam, mu, t10.num_nodes)
+    # chunk size that does NOT divide T exercises the zero-volume padding
+    chunked = tet10_force(
+        Jinv, vols, conn, u, lam, mu, t10.num_nodes, elem_chunk=777
+    )
+    err = float(jnp.abs(chunked - dense).max() / jnp.abs(dense).max())
+    assert err < 1e-12

@@ -164,10 +164,10 @@ def _quad_grads(Jinv, dtype):
     return (table[None, :, :, None, :] * Jinv[:, None, None, :, :]).sum(axis=-1)
 
 
-def tet10_force(Jinv, vols, tet10, u_nodes, lam, mu, num_nodes):
-    """y = K u for tet10, quadrature-point tensor form."""
+def _tet10_fe(Jinv, vols, conn, u_nodes, lam, mu):
+    """Per-element internal force (T,10,3) for y = K u."""
     g = _quad_grads(Jinv, u_nodes.dtype)  # (T,Q,10,3)
-    ue = u_nodes[tet10]  # (T,10,3)
+    ue = u_nodes[conn]  # (T,10,3)
     H = (g[:, :, :, :, None] * ue[:, None, :, None, :]).sum(axis=2)  # (T,Q,3,3)
     eps = 0.5 * (H + jnp.swapaxes(H, 2, 3))
     tr = eps[..., 0, 0] + eps[..., 1, 1] + eps[..., 2, 2]
@@ -176,8 +176,44 @@ def tet10_force(Jinv, vols, tet10, u_nodes, lam, mu, num_nodes):
     sigma = sigma.at[..., idx, idx].add(lam * tr[..., None])
     w = (GAUSS_WEIGHT * vols)[:, None]  # (T,1) per-q weight
     sw = sigma * w[..., None, None]  # (T,Q,3,3)
-    fe = (sw[:, :, None, :, :] * g[:, :, :, None, :]).sum(axis=(1, 4))  # (T,10,3)
-    return jax.ops.segment_sum(fe.reshape(-1, 3), tet10.reshape(-1), num_segments=num_nodes)
+    return (sw[:, :, None, :, :] * g[:, :, :, None, :]).sum(axis=(1, 4))  # (T,10,3)
+
+
+def tet10_force(Jinv, vols, tet10, u_nodes, lam, mu, num_nodes, elem_chunk=None):
+    """y = K u for tet10, quadrature-point tensor form.
+
+    elem_chunk bounds the per-dispatch element temporaries: the dense form
+    materializes (T,Q,10,3,3) intermediates — ~1.7 GB in f64 at the ~2.5M-DOF
+    flagship mesh, several live at once, which OOMs a 16 GB chip (measured:
+    TPU worker crash). Chunking scans element blocks and accumulates into the
+    (N,3) output, trading one fused kernel for bounded HBM."""
+    T = tet10.shape[0]
+    if elem_chunk is None or T <= elem_chunk:
+        fe = _tet10_fe(Jinv, vols, tet10, u_nodes, lam, mu)
+        return jax.ops.segment_sum(
+            fe.reshape(-1, 3), tet10.reshape(-1), num_segments=num_nodes
+        )
+    nc = -(-T // elem_chunk)
+    pad = nc * elem_chunk - T
+    # zero-volume padding contributes exactly zero force
+    Jp = jnp.pad(Jinv, ((0, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(vols, (0, pad))
+    cp = jnp.pad(tet10, ((0, pad), (0, 0)))
+    Jr = Jp.reshape(nc, elem_chunk, 3, 3)
+    vr = vp.reshape(nc, elem_chunk)
+    cr = cp.reshape(nc, elem_chunk, 10)
+
+    def body(y, blk):
+        Jc, vc, cc = blk
+        fe = _tet10_fe(Jc, vc, cc, u_nodes, lam, mu)
+        y = y + jax.ops.segment_sum(
+            fe.reshape(-1, 3), cc.reshape(-1), num_segments=num_nodes
+        )
+        return y, None
+
+    y0 = jnp.zeros((num_nodes, 3), dtype=u_nodes.dtype)
+    y, _ = jax.lax.scan(body, y0, (Jr, vr, cr))
+    return y
 
 
 def tet10_operator(Jinv, vols, tet10, lam, mu, num_nodes, free_mask):

@@ -64,6 +64,7 @@ class Tet10MGSolver:
         smooth_alpha: float = 0.25,
         power_iters: int = 10,
         lmax_safety: float = 1.2,
+        elem_chunk: int | None = None,
     ):
         assert t10.station_id is not None, "structured wing tet10 mesh required"
         self.res = res
@@ -73,6 +74,8 @@ class Tet10MGSolver:
         self.smooth_alpha = smooth_alpha
         self.power_iters = power_iters
         self.lmax_safety = lmax_safety
+        # bounds tet10_force element temporaries (HBM; see tet10.tet10_force)
+        self.elem_chunk = elem_chunk
         self.N10 = t10.num_nodes
         self.N4 = t10.mesh4.num_nodes
         self.conn = jnp.asarray(t10.tet10)
@@ -97,6 +100,7 @@ class Tet10MGSolver:
         self._jit_chunk = jax.jit(self._chunk, static_argnames=("tol", "maxiter"))
         self._jit_chunk64 = jax.jit(self._chunk64, static_argnames=("tol", "maxiter"))
         self._jit_recover = jax.jit(self._recover)
+        self._jit_resid64 = jax.jit(self._resid64)
 
     # ---------------------------------------------------------- p-transfers
     def prolong(self, u4):
@@ -116,7 +120,10 @@ class Tet10MGSolver:
     # ------------------------------------------------------------- operator
     def _apply_A(self, Jinv, vols, lam, mu, x):
         u = x * self.free
-        y = tet10_force(Jinv, vols, self.conn, u, lam, mu, self.N10)
+        y = tet10_force(
+            Jinv, vols, self.conn, u, lam, mu, self.N10,
+            elem_chunk=self.elem_chunk,
+        )
         return y * self.free + x * (1.0 - self.free)
 
     def _line_apply(self, Binv, r):
@@ -192,7 +199,10 @@ class Tet10MGSolver:
 
         def A(x):
             u = x * free64
-            y = tet10_force(Jinv64, vols64, self.conn, u, lam64, mu64, self.N10)
+            y = tet10_force(
+                Jinv64, vols64, self.conn, u, lam64, mu64, self.N10,
+                elem_chunk=self.elem_chunk,
+            )
             return y * free64 + x * (1.0 - free64)
 
         lam32 = lam64.astype(self.dtype)
@@ -206,6 +216,22 @@ class Tet10MGSolver:
             return z.astype(jnp.float64)
 
         return _pcg_flat(A, M, b64, x0, tol, maxiter)
+
+    def _resid64(self, Jinv64, vols64, lam64, mu64, b64, x64):
+        """TRUE f64 residual of the f64-assembled system — ONE chunked
+        operator application, not a full f64 CG (the full emulated-f64
+        while_loop at the 2.5M-DOF flagship crashed the TPU worker; a single
+        apply per refinement step keeps peak HBM bounded)."""
+        free64 = self.free.astype(jnp.float64)
+        u = x64 * free64
+        y = tet10_force(
+            Jinv64, vols64, self.conn, u, lam64, mu64, self.N10,
+            elem_chunk=self.elem_chunk,
+        )
+        r = b64 - (y * free64 + x64 * (1.0 - free64))
+        bn = jnp.sqrt((b64 * b64).sum())
+        rn = jnp.sqrt((r * r).sum())
+        return r, rn / jnp.where(bn > 0, bn, 1.0)
 
     def _recover(self, Jinv, vols, x, lam, mu):
         u = x * self.free.astype(x.dtype)
@@ -225,7 +251,16 @@ class Tet10MGSolver:
         maxiter: int = 2000,
         chunk_iters: int = 100,
         outer_f64: bool = False,
+        refine_steps: int = 0,
+        inner_tol: float = 1e-4,
+        progress: bool = False,
     ) -> Tet10MGResult:
+        """refine_steps > 0 selects mixed-precision iterative refinement:
+        f32 MG-PCG to `inner_tol`, then up to refine_steps rounds of
+        (f64 true residual -> f32 correction solve), convergence judged on
+        the TRUE f64 residual against `tol`. This is the flagship-scale
+        path: the f64 work is one chunked operator application per round,
+        where outer_f64's full emulated-f64 CG exceeds the chip."""
         from tpufem.fem.material import Material, lame_params
 
         material = material or Material()
@@ -243,6 +278,13 @@ class Tet10MGSolver:
         )
         f = pressure_loads_t6(nodes10, upper_t6, press, self.N10)
         b = f * self.free
+
+        if refine_steps > 0:
+            return self._solve_refine(
+                Jinv, vols, Binv, lmax, smg_state, lam, mu, b, upper_t6,
+                pressure, tol, maxiter, chunk_iters, refine_steps, inner_tol,
+                progress,
+            )
 
         if outer_f64:
             f64 = jnp.float64
@@ -272,6 +314,8 @@ class Tet10MGSolver:
             total += int(k)
             rel = float(rel)
             conv = bool(conv)
+            if progress:
+                print(f"  [tet10-mg] iters {total}: rel {rel:.3e}", flush=True)
             if conv or int(k) < step:
                 break
         u, vm = self._jit_recover(Jinv, vols, x.astype(self.dtype), lam, mu)
@@ -280,12 +324,79 @@ class Tet10MGSolver:
             rel_residual=rel, converged=conv,
         )
 
+    def _run_f32(self, Jinv, vols, Binv, lmax, smg_state, lam, mu, b, x,
+                 tol, maxiter, chunk_iters, progress, tag="tet10-mg"):
+        total = 0
+        rel, conv = np.inf, False
+        while total < maxiter:
+            step = min(chunk_iters, maxiter - total)
+            x, k, rel, conv = self._jit_chunk(
+                Jinv, vols, Binv, lmax, smg_state, lam, mu, b, x,
+                tol=tol, maxiter=step,
+            )
+            total += int(k)
+            rel, conv = float(rel), bool(conv)
+            if progress:
+                print(f"  [{tag}] iters {total}: rel {rel:.3e}", flush=True)
+            if conv or int(k) < step:
+                break
+        return x, total, rel, conv
+
+    def _solve_refine(self, Jinv, vols, Binv, lmax, smg_state, lam, mu, b,
+                      upper_t6, pressure, tol, maxiter, chunk_iters,
+                      refine_steps, inner_tol, progress):
+        """Mixed-precision refinement loop (see solve docstring)."""
+        f64 = jnp.float64
+        nodes64 = jnp.asarray(self.t10.nodes10(self.t10.mesh4.nodes), f64)
+        Jinv64, vols64 = tet10_setup(nodes64, self.conn)
+        lam64 = jnp.asarray(float(lam), f64)
+        mu64 = jnp.asarray(float(mu), f64)
+        b64 = pressure_loads_t6(nodes64, upper_t6, jnp.asarray(pressure, f64), self.N10)
+        b64 = b64 * self.free.astype(f64)
+
+        x, total, _, _ = self._run_f32(
+            Jinv, vols, Binv, lmax, smg_state, lam, mu, b,
+            jnp.zeros_like(b), inner_tol, maxiter, chunk_iters, progress,
+        )
+        x64 = x.astype(f64)
+        rel = np.inf
+        for it in range(refine_steps):
+            r64, rel = self._jit_resid64(Jinv64, vols64, lam64, mu64, b64, x64)
+            rel = float(rel)
+            if progress:
+                print(f"  [tet10-mg] refine {it}: TRUE f64 rel {rel:.3e}", flush=True)
+            if rel <= tol or total >= maxiter:
+                break
+            rnorm = jnp.sqrt((r64 * r64).sum())
+            safe = jnp.where(rnorm > 0, rnorm, 1.0)
+            cg, k, _, _ = self._run_f32(
+                Jinv, vols, Binv, lmax, smg_state, lam, mu,
+                (r64 / safe).astype(self.dtype), jnp.zeros_like(b),
+                inner_tol, maxiter - total, chunk_iters, progress,
+                tag="tet10-mg corr",
+            )
+            x64 = x64 + cg.astype(f64) * safe
+            total += k
+        _, rel = self._jit_resid64(Jinv64, vols64, lam64, mu64, b64, x64)
+        rel = float(rel)
+        u, vm = self._jit_recover(Jinv, vols, x64.astype(self.dtype), lam, mu)
+        return Tet10MGResult(
+            u=np.asarray(u), vm=np.asarray(vm), iters=total,
+            rel_residual=rel, converged=rel <= tol,
+        )
+
 
 def _pcg_flat(A, M, b, x0, tol, maxiter):
-    """Chunk-bounded PCG on (N,3) arrays with lane-free scalars."""
+    """Chunk-bounded PCG on (N,3) arrays with lane-free scalars.
+
+    Dots accumulate in f64 (emulated on TPU; needs jax_enable_x64, silently
+    stays f32 otherwise): plain f32 reductions at ~2.5M DOF carry ~sqrt(N)*eps
+    ~ 2e-4 relative noise into alpha/beta, which stalls the recurred residual
+    around 1e-2 at the flagship mesh (measured)."""
 
     def dot(u_, v_):
-        return (u_ * v_).sum()
+        acc = (u_.astype(jnp.float64) * v_.astype(jnp.float64)).sum()
+        return acc.astype(b.dtype)
 
     x = x0
     r = b - A(x)
