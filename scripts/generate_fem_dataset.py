@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="batched solver engine: 'twolevel' = vmapped gather-path "
                          "line+RBM PCG; 'stencil' = grid-layout MG-PCG with f64 "
                          "outer CG (faster, true-f64 residuals; the bench.py path)")
+    ap.add_argument("--chunk_iters", type=int, default=200,
+                    help="CG iterations per device dispatch (axon worker kills "
+                         "dispatches over ~1 min wall-clock)")
     args = ap.parse_args(argv)
 
     if args.engine == "stencil":
@@ -164,6 +167,7 @@ def run_batched(paths, case_ids, args, material) -> list[StepReport]:
             out = stencil.solve(
                 p4, pressure=args.pressure, material=material,
                 tol=args.tol, maxiter=args.maxiter, outer_f64=True,
+                chunk_iters=args.chunk_iters,
             )
 
             class _Ctx:  # same fields run_batched's writer consumes
