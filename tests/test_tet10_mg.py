@@ -92,6 +92,21 @@ def test_tet10_mg_mixed_precision_refinement():
     assert err < 1e-6
 
 
+def test_tet10_mg_f64_polish_breaks_refinement_floor():
+    """When refinement cannot reach tol (rel stalls round-over-round), the
+    chunked f64-outer CG polish — warm-started from the refined solution —
+    must drive the computed f64 residual to tol. refine_steps=1 leaves the
+    residual ~1e-2, far above tol, so this exercises the polish path."""
+    mesh, bs, t10 = _setup()
+    solver = Tet10MGSolver(RES, t10, dtype=jnp.float32)
+    out = solver.solve(
+        P4, bs.surf_upper_faces, pressure=5e3, tol=5e-7, maxiter=8000,
+        chunk_iters=50, refine_steps=1, inner_tol=1e-4,
+    )
+    assert out.converged
+    assert out.rel_residual <= 5e-7
+
+
 def test_tet10_force_elem_chunked_matches_dense():
     """Chunked operator application (HBM-bounded scan over element blocks,
     used by the ~2.5M-DOF flagship solve) is exactly the dense apply."""

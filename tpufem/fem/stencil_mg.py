@@ -339,6 +339,56 @@ class StencilMG:
 # -------------------------------------------------------------- solver class
 
 
+def _cg_grid_init(A, M, dot, bg, x0):
+    """Initial Krylov state (x, r, p, z, rz, bn) for chunk-bounded batched
+    grid CG; carrying (r, p, z, rz) across device dispatches keeps the
+    chunked loop mathematically identical to one uninterrupted PCG (a
+    per-chunk restart discards the Krylov direction — at small chunk sizes,
+    forced by the axon worker's ~1-min dispatch kill, that collapses
+    convergence to steepest-descent-like rates; measured at the 2.5M-DOF
+    tet10 flagship)."""
+    r = bg - A(x0)
+    z = M(r)
+    rz = dot(r, z)
+    bn = jnp.sqrt(dot(bg, bg))
+    bn = jnp.where(bn > 0, bn, 1.0)
+    return (x0, r, z, z, rz, bn)
+
+
+def _cg_grid_run(A, M, dot, cg, tol, maxiter):
+    """Run up to `maxiter` PCG iterations from Krylov state `cg` (per-lane
+    done masking over the trailing batch axis); returns (state', k, rel,
+    converged)."""
+    x0, r0, p0, z0, rz0, bn = cg
+    tol2 = (tol * bn) ** 2
+
+    def cond(st):
+        _, r, _, _, _, k = st
+        return jnp.any(dot(r, r) > tol2) & (k < maxiter)
+
+    def step(st):
+        x, r, p, z, rz, k = st
+        rr = dot(r, r)
+        done = (rr <= tol2) | ~jnp.isfinite(rr)
+        Ap = A(p)
+        denom = dot(p, Ap)
+        alpha = jnp.where(done | (denom == 0), 0.0, rz / jnp.where(denom == 0, 1.0, denom))
+        bca = alpha[None, :, None, None, None]
+        x = x + bca * p
+        r = r - bca * Ap
+        z = M(r)
+        rz_new = dot(r, z)
+        beta = jnp.where(done | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+        p = z + beta[None, :, None, None, None] * p
+        return (x, r, p, z, jnp.where(done, rz, rz_new), k + 1)
+
+    x, r, p, z, rz, k = jax.lax.while_loop(
+        cond, step, (x0, r0, p0, z0, rz0, jnp.int32(0))
+    )
+    rel = jnp.sqrt(dot(r, r)) / bn
+    return (x, r, p, z, rz, bn), k, rel, rel <= tol
+
+
 class WingStencilT:
     """Batched wing solver on the stencil engine: MG-PCG over grid arrays.
 
@@ -363,9 +413,11 @@ class WingStencilT:
         self.num_nodes = self.bt.num_nodes
         self.smg = StencilMG(res, dtype=dtype, n_levels=mg_levels, **(mg_kwargs or {}))
         self._jit_setup = jax.jit(self._setup)
+        self._jit_init = jax.jit(self._init)
         self._jit_chunk = jax.jit(self._chunk, static_argnames=("tol", "maxiter"))
         self._jit_resid64 = jax.jit(self._resid64)
         self._jit_setup64 = jax.jit(self._setup64)
+        self._jit_init64 = jax.jit(self._init64)
         self._jit_chunk64 = jax.jit(self._chunk64, static_argnames=("tol", "maxiter"))
 
     def _loads_grid(self, nodes, pressure, dtype):
@@ -394,13 +446,14 @@ class WingStencilT:
         bg64 = self._loads_grid(nodes64, press64, f64)
         return geo64, bg64
 
-    def _chunk64(self, geo64, bg64, state, x0, lam64, mu64, tol, maxiter):
-        """CG with the operator and state in f64 (emulated on TPU) and the
-        f32 V-cycle as preconditioner. The f32 operator state floors CG's
-        TRUE residual around 2e-6..4e-6 relative at 100k DOF (measured;
-        mixed-precision refinement inherits the same floor because the
-        correction systems are solved with the same f32 operator) — an f64
-        operator removes the floor while the preconditioner stays cheap."""
+    def _ops64(self, geo64, state, lam64, mu64):
+        """(A, M, dot) for the f64-outer CG: operator and state in f64
+        (emulated on TPU) with the f32 V-cycle as preconditioner. The f32
+        operator state floors CG's TRUE residual around 2e-6..4e-6 relative
+        at 100k DOF (measured; mixed-precision refinement inherits the same
+        floor because the correction systems are solved with the same f32
+        operator) — an f64 operator removes the floor while the
+        preconditioner stays cheap."""
         smg = self.smg
         f64 = jnp.float64
         free64 = smg.free_masks[0].astype(f64)
@@ -414,38 +467,15 @@ class WingStencilT:
         def dot(u_, v_):
             return (u_ * v_).sum(axis=(0, 2, 3, 4))  # (B,)
 
-        x = x0
-        r = bg64 - A(x)
-        z = M(r)
-        p = z
-        rz = dot(r, z)
-        bn = jnp.sqrt(dot(bg64, bg64))
-        bn = jnp.where(bn > 0, bn, 1.0)
-        tol2 = (tol * bn) ** 2
+        return A, M, dot
 
-        def cond(st):
-            _, r, _, _, _, k = st
-            return jnp.any(dot(r, r) > tol2) & (k < maxiter)
+    def _init64(self, geo64, bg64, state, x0, lam64, mu64):
+        A, M, dot = self._ops64(geo64, state, lam64, mu64)
+        return _cg_grid_init(A, M, dot, bg64, x0)
 
-        def step(st):
-            x, r, p, z, rz, k = st
-            rr = dot(r, r)
-            done = (rr <= tol2) | ~jnp.isfinite(rr)
-            Ap = A(p)
-            denom = dot(p, Ap)
-            alpha = jnp.where(done | (denom == 0), 0.0, rz / jnp.where(denom == 0, 1.0, denom))
-            bca = alpha[None, :, None, None, None]
-            x = x + bca * p
-            r = r - bca * Ap
-            z = M(r)
-            rz_new = dot(r, z)
-            beta = jnp.where(done | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
-            p = z + beta[None, :, None, None, None] * p
-            return (x, r, p, z, jnp.where(done, rz, rz_new), k + 1)
-
-        x, r, p, z, rz, k = jax.lax.while_loop(cond, step, (x, r, p, z, rz, jnp.int32(0)))
-        rel = jnp.sqrt(dot(r, r)) / bn
-        return x, k, rel, rel <= tol
+    def _chunk64(self, geo64, state, cg, lam64, mu64, tol, maxiter):
+        A, M, dot = self._ops64(geo64, state, lam64, mu64)
+        return _cg_grid_run(A, M, dot, cg, tol, maxiter)
 
     def _resid64(self, p464, press64, lam64, mu64, xg64):
         """TRUE f64 residual of the f64-assembled system (geometry, loads and
@@ -471,11 +501,14 @@ class WingStencilT:
         state = self.smg.setup(p4, lam, mu)
         return nodes, grads, vols, bg, state
 
-    def _chunk(self, bg, state, x0, tol, maxiter):
+    def _ops(self, state):
         smg = self.smg
 
         def A(x):
             return smg._apply_A(0, state[0], x)
+
+        def M(r):
+            return smg.apply(state, r)
 
         # f64 accumulation (emulated on TPU; requires jax_enable_x64, silently
         # stays f32 otherwise): f32 reduction noise in alpha/beta is what
@@ -485,50 +518,28 @@ class WingStencilT:
             acc = (u_.astype(jnp.float64) * v_.astype(jnp.float64)).sum(axis=(0, 2, 3, 4))
             return acc.astype(self.dtype)  # (B,)
 
-        x = x0
-        r = bg - A(x)
-        z = smg.apply(state, r)
-        p = z
-        rz = dot(r, z)
-        bn = jnp.sqrt(dot(bg, bg))
-        bn = jnp.where(bn > 0, bn, 1.0)
-        tol2 = (tol * bn) ** 2
+        return A, M, dot
 
-        def cond(st):
-            _, r, _, _, _, k = st
-            return jnp.any(dot(r, r) > tol2) & (k < maxiter)
+    def _init(self, bg, state, x0):
+        A, M, dot = self._ops(state)
+        return _cg_grid_init(A, M, dot, bg, x0)
 
-        def step(st):
-            x, r, p, z, rz, k = st
-            rr = dot(r, r)
-            done = (rr <= tol2) | ~jnp.isfinite(rr)
-            Ap = A(p)
-            denom = dot(p, Ap)
-            alpha = jnp.where(done | (denom == 0), 0.0, rz / jnp.where(denom == 0, 1.0, denom))
-            bca = alpha[None, :, None, None, None]
-            x = x + bca * p
-            r = r - bca * Ap
-            z = smg.apply(state, r)
-            rz_new = dot(r, z)
-            beta = jnp.where(done | (rz == 0), 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
-            p = z + beta[None, :, None, None, None] * p
-            return (x, r, p, z, jnp.where(done, rz, rz_new), k + 1)
-
-        x, r, p, z, rz, k = jax.lax.while_loop(cond, step, (x, r, p, z, rz, jnp.int32(0)))
-        rel = jnp.sqrt(dot(r, r)) / bn
-        return x, k, rel, rel <= tol
+    def _chunk(self, state, cg, tol, maxiter):
+        A, M, dot = self._ops(state)
+        return _cg_grid_run(A, M, dot, cg, tol, maxiter)
 
     def _run_cg(self, bg, state, tol, maxiter, chunk_iters, xg=None):
         xg = jnp.zeros_like(bg) if xg is None else xg
+        cg = self._jit_init(bg, state, xg)
         total = 0
         rel = conv = None
         while total < maxiter:
             step = min(chunk_iters, maxiter - total)
-            xg, k, rel, conv = self._jit_chunk(bg, state, xg, tol=tol, maxiter=step)
+            cg, k, rel, conv = self._jit_chunk(state, cg, tol=tol, maxiter=step)
             total += int(k)
             if bool(jnp.all(conv)) or int(k) < step:
                 break
-        return xg, total, rel, conv
+        return cg[0], total, rel, conv
 
     def solve(
         self,
@@ -570,18 +581,18 @@ class WingStencilT:
             press64 = jnp.asarray(pressure, f64)
             lam64, mu64 = (jnp.asarray(v, f64) for v in lame_params(material))
             geo64, bg64 = self._jit_setup64(p464, press64)
-            x64 = jnp.zeros_like(bg64)
+            cg = self._jit_init64(geo64, bg64, state, jnp.zeros_like(bg64), lam64, mu64)
             total = 0
             rel = conv = None
             while total < maxiter:
                 step = min(chunk_iters, maxiter - total)
-                x64, k, rel, conv = self._jit_chunk64(
-                    geo64, bg64, state, x64, lam64, mu64, tol=tol, maxiter=step
+                cg, k, rel, conv = self._jit_chunk64(
+                    geo64, state, cg, lam64, mu64, tol=tol, maxiter=step
                 )
                 total += int(k)
                 if bool(jnp.all(conv)) or int(k) < step:
                     break
-            x = from_grid(self.res, x64.astype(self.dtype))
+            x = from_grid(self.res, cg[0].astype(self.dtype))
             u, s6, vm = self.bt._jit_recover(grads, vols, x, lam, mu)
             return BatchTSolveResult(nodes, u, s6, vm, total, rel, conv)
 

@@ -18,6 +18,20 @@ The whole preconditioner is a fixed linear symmetric operator, so the outer
 loop is plain chunked PCG (chunks bounded for the axon worker); `outer_f64`
 runs the outer operator/state in f64 with the f32 preconditioner, removing
 the f32 true-residual floor (same design as stencil_mg.WingStencilT).
+
+MEASURED PRECISION LIMITS (16x16x4 wing, kappa ~1e9; scale-dependent):
+  - f32 recurred residual: meaningless at this conditioning — recurred
+    9.9e-5 while the true f64 residual was 6.0e+2 after the inner solve.
+  - mixed-precision refinement: converges the computed f64 residual to an
+    ~1.8e-7 floor; beyond that the correction rounds chase noise.
+  - the computed f64 residual ITSELF saturates at element-cancellation
+    noise (per-element force magnitudes ~kappa_elem above the assembled
+    residual, so eps_f64 rounding floors the metric): a pure-f64 CG run to
+    recurred rel 8.6e-12 EVALUATES to 2.4e-6 on the same metric. The
+    refined-f32 solution measures better (1.8e-7) because refinement
+    explicitly minimizes the computed residual. Tolerances below the
+    evaluation floor are not certifiable in f64 arithmetic at a given
+    conditioning (~7e-6 at the 2.5M-DOF flagship, hence its tol 1e-5).
 """
 
 from __future__ import annotations
@@ -97,6 +111,8 @@ class Tet10MGSolver:
             lmax_safety=lmax_safety,
         )
         self._jit_setup = jax.jit(self._setup)
+        self._jit_init = jax.jit(self._init)
+        self._jit_init64 = jax.jit(self._init64)
         self._jit_chunk = jax.jit(self._chunk, static_argnames=("tol", "maxiter"))
         self._jit_chunk64 = jax.jit(self._chunk64, static_argnames=("tol", "maxiter"))
         self._jit_recover = jax.jit(self._recover)
@@ -189,12 +205,17 @@ class Tet10MGSolver:
         return x
 
     # --------------------------------------------------------------- CG loop
-    def _chunk(self, Jinv, vols, Binv, lmax, smg_state, lam, mu, b, x0, tol, maxiter):
+    def _init(self, Jinv, vols, Binv, lmax, smg_state, lam, mu, b, x0):
         A = lambda x: self._apply_A(Jinv, vols, lam, mu, x)  # noqa: E731
         M = lambda r: self.apply_M(Jinv, vols, Binv, lmax, smg_state, lam, mu, r)  # noqa: E731
-        return _pcg_flat(A, M, b, x0, tol, maxiter)
+        return _pcg_init(A, M, b, x0)
 
-    def _chunk64(self, Jinv64, vols64, Binv, lmax, smg_state, lam64, mu64, b64, x0, tol, maxiter):
+    def _chunk(self, Jinv, vols, Binv, lmax, smg_state, lam, mu, state, tol, maxiter):
+        A = lambda x: self._apply_A(Jinv, vols, lam, mu, x)  # noqa: E731
+        M = lambda r: self.apply_M(Jinv, vols, Binv, lmax, smg_state, lam, mu, r)  # noqa: E731
+        return _pcg_flat(A, M, state, tol, maxiter)
+
+    def _chunk64(self, Jinv64, vols64, Binv, lmax, smg_state, lam64, mu64, state, tol, maxiter):
         free64 = self.free.astype(jnp.float64)
 
         def A(x):
@@ -215,7 +236,30 @@ class Tet10MGSolver:
             )
             return z.astype(jnp.float64)
 
-        return _pcg_flat(A, M, b64, x0, tol, maxiter)
+        return _pcg_flat(A, M, state, tol, maxiter)
+
+    def _init64(self, Jinv64, vols64, Binv, lmax, smg_state, lam64, mu64, b64, x0):
+        free64 = self.free.astype(jnp.float64)
+
+        def A(x):
+            u = x * free64
+            y = tet10_force(
+                Jinv64, vols64, self.conn, u, lam64, mu64, self.N10,
+                elem_chunk=self.elem_chunk,
+            )
+            return y * free64 + x * (1.0 - free64)
+
+        lam32 = lam64.astype(self.dtype)
+        mu32 = mu64.astype(self.dtype)
+
+        def M(r):
+            z = self.apply_M(
+                Jinv64.astype(self.dtype), vols64.astype(self.dtype), Binv, lmax,
+                smg_state, lam32, mu32, r.astype(self.dtype),
+            )
+            return z.astype(jnp.float64)
+
+        return _pcg_init(A, M, b64, x0)
 
     def _resid64(self, Jinv64, vols64, lam64, mu64, b64, x64):
         """TRUE f64 residual of the f64-assembled system — ONE chunked
@@ -294,15 +338,20 @@ class Tet10MGSolver:
             mu64 = jnp.asarray(float(mu), f64)
             b64 = pressure_loads_t6(nodes64, upper_t6, jnp.asarray(pressure, f64), self.N10)
             b64 = b64 * self.free.astype(f64)
-            x = jnp.zeros_like(b64)
-            run = lambda x, n: self._jit_chunk64(  # noqa: E731
-                Jinv64, vols64, Binv, lmax, smg_state, lam64, mu64, b64, x,
+            state = self._jit_init64(
+                Jinv64, vols64, Binv, lmax, smg_state, lam64, mu64, b64,
+                jnp.zeros_like(b64),
+            )
+            run = lambda st, n: self._jit_chunk64(  # noqa: E731
+                Jinv64, vols64, Binv, lmax, smg_state, lam64, mu64, st,
                 tol=tol, maxiter=n,
             )
         else:
-            x = jnp.zeros_like(b)
-            run = lambda x, n: self._jit_chunk(  # noqa: E731
-                Jinv, vols, Binv, lmax, smg_state, lam, mu, b, x, tol=tol, maxiter=n
+            state = self._jit_init(
+                Jinv, vols, Binv, lmax, smg_state, lam, mu, b, jnp.zeros_like(b)
+            )
+            run = lambda st, n: self._jit_chunk(  # noqa: E731
+                Jinv, vols, Binv, lmax, smg_state, lam, mu, st, tol=tol, maxiter=n
             )
 
         total = 0
@@ -310,7 +359,7 @@ class Tet10MGSolver:
         conv = False
         while total < maxiter:
             step = min(chunk_iters, maxiter - total)
-            x, k, rel, conv = run(x, step)
+            state, k, rel, conv = run(state, step)
             total += int(k)
             rel = float(rel)
             conv = bool(conv)
@@ -318,6 +367,7 @@ class Tet10MGSolver:
                 print(f"  [tet10-mg] iters {total}: rel {rel:.3e}", flush=True)
             if conv or int(k) < step:
                 break
+        x = state[0]
         u, vm = self._jit_recover(Jinv, vols, x.astype(self.dtype), lam, mu)
         return Tet10MGResult(
             u=np.asarray(u), vm=np.asarray(vm), iters=total,
@@ -326,12 +376,13 @@ class Tet10MGSolver:
 
     def _run_f32(self, Jinv, vols, Binv, lmax, smg_state, lam, mu, b, x,
                  tol, maxiter, chunk_iters, progress, tag="tet10-mg"):
+        state = self._jit_init(Jinv, vols, Binv, lmax, smg_state, lam, mu, b, x)
         total = 0
         rel, conv = np.inf, False
         while total < maxiter:
             step = min(chunk_iters, maxiter - total)
-            x, k, rel, conv = self._jit_chunk(
-                Jinv, vols, Binv, lmax, smg_state, lam, mu, b, x,
+            state, k, rel, conv = self._jit_chunk(
+                Jinv, vols, Binv, lmax, smg_state, lam, mu, state,
                 tol=tol, maxiter=step,
             )
             total += int(k)
@@ -340,7 +391,7 @@ class Tet10MGSolver:
                 print(f"  [{tag}] iters {total}: rel {rel:.3e}", flush=True)
             if conv or int(k) < step:
                 break
-        return x, total, rel, conv
+        return state[0], total, rel, conv
 
     def _solve_refine(self, Jinv, vols, Binv, lmax, smg_state, lam, mu, b,
                       upper_t6, pressure, tol, maxiter, chunk_iters,
@@ -360,23 +411,67 @@ class Tet10MGSolver:
         )
         x64 = x.astype(f64)
         rel = np.inf
-        for it in range(refine_steps):
-            r64, rel = self._jit_resid64(Jinv64, vols64, lam64, mu64, b64, x64)
-            rel = float(rel)
-            if progress:
-                print(f"  [tet10-mg] refine {it}: TRUE f64 rel {rel:.3e}", flush=True)
-            if rel <= tol or total >= maxiter:
-                break
-            rnorm = jnp.sqrt((r64 * r64).sum())
-            safe = jnp.where(rnorm > 0, rnorm, 1.0)
-            cg, k, _, _ = self._run_f32(
-                Jinv, vols, Binv, lmax, smg_state, lam, mu,
-                (r64 / safe).astype(self.dtype), jnp.zeros_like(b),
-                inner_tol, maxiter - total, chunk_iters, progress,
-                tag="tet10-mg corr",
+
+        def refine_rounds(x64, total, rel):
+            prev_rel = np.inf
+            for it in range(refine_steps):
+                r64, rel = self._jit_resid64(Jinv64, vols64, lam64, mu64, b64, x64)
+                rel = float(rel)
+                if progress:
+                    print(f"  [tet10-mg] refine {it}: TRUE f64 rel {rel:.3e}", flush=True)
+                if rel <= tol or total >= maxiter:
+                    break
+                if rel > 0.5 * prev_rel:
+                    # refinement floor: the f32-assembled correction operator
+                    # differs from the f64 one by ~eps_f32 relative, which at
+                    # kappa ~1e10 (2.5M-DOF flagship) floors the computed
+                    # residual (measured) — further f32 rounds chase noise
+                    break
+                prev_rel = rel
+                rnorm = jnp.sqrt((r64 * r64).sum())
+                safe = jnp.where(rnorm > 0, rnorm, 1.0)
+                cg, k, _, _ = self._run_f32(
+                    Jinv, vols, Binv, lmax, smg_state, lam, mu,
+                    (r64 / safe).astype(self.dtype), jnp.zeros_like(b),
+                    inner_tol, maxiter - total, chunk_iters, progress,
+                    tag="tet10-mg corr",
+                )
+                x64 = x64 + cg.astype(f64) * safe
+                total += k
+            return x64, total, rel
+
+        x64, total, rel = refine_rounds(x64, total, rel)
+        if rel > tol and total < maxiter:
+            # f64-outer polish: chunked f64-operator CG (f32 V-cycle
+            # preconditioner) warm-started from the refined solution removes
+            # the f32 correction-operator floor; it only has to contract the
+            # residual from that floor toward tol, so a handful of
+            # (expensive, emulated-f64) iterations suffice. Small chunks keep
+            # each dispatch under the axon worker's ~1-min kill; warm Krylov
+            # state makes the chunked loop identical to one uninterrupted CG.
+            chunk64 = max(2, chunk_iters // 2)
+            st64 = self._jit_init64(
+                Jinv64, vols64, Binv, lmax, smg_state, lam64, mu64, b64, x64
             )
-            x64 = x64 + cg.astype(f64) * safe
-            total += k
+            conv = False
+            while total < maxiter and not conv:
+                step = min(chunk64, maxiter - total)
+                st64, k, rel, conv = self._jit_chunk64(
+                    Jinv64, vols64, Binv, lmax, smg_state, lam64, mu64, st64,
+                    tol=tol, maxiter=step,
+                )
+                total += int(k)
+                rel, conv = float(rel), bool(conv)
+                if progress:
+                    print(f"  [tet10-mg f64] iters {total}: rel {rel:.3e}", flush=True)
+                if int(k) < step:
+                    break
+            x64 = st64[0]
+            # the polish minimizes its own recurrence, not the computed
+            # residual — the one-shot evaluation of its result sits at raw
+            # element-cancellation noise. A final refinement pass re-targets
+            # the computed metric and recovers the (lower) refinement floor.
+            x64, total, rel = refine_rounds(x64, total, rel)
         _, rel = self._jit_resid64(Jinv64, vols64, lam64, mu64, b64, x64)
         rel = float(rel)
         u, vm = self._jit_recover(Jinv, vols, x64.astype(self.dtype), lam, mu)
@@ -386,44 +481,59 @@ class Tet10MGSolver:
         )
 
 
-def _pcg_flat(A, M, b, x0, tol, maxiter):
-    """Chunk-bounded PCG on (N,3) arrays with lane-free scalars.
-
-    Dots accumulate in f64 (emulated on TPU; needs jax_enable_x64, silently
+def _dot64(u_, v_, out_dtype):
+    """f64-accumulated dot (emulated on TPU; needs jax_enable_x64, silently
     stays f32 otherwise): plain f32 reductions at ~2.5M DOF carry ~sqrt(N)*eps
     ~ 2e-4 relative noise into alpha/beta, which stalls the recurred residual
     around 1e-2 at the flagship mesh (measured)."""
+    acc = (u_.astype(jnp.float64) * v_.astype(jnp.float64)).sum()
+    return acc.astype(out_dtype)
 
-    def dot(u_, v_):
-        acc = (u_.astype(jnp.float64) * v_.astype(jnp.float64)).sum()
-        return acc.astype(b.dtype)
 
-    x = x0
-    r = b - A(x)
+def _pcg_init(A, M, b, x0):
+    """Initial Krylov state (x, r, p, z, rz, bn) for chunk-bounded PCG."""
+    r = b - A(x0)
     z = M(r)
-    p = z
-    rz = dot(r, z)
-    bn = jnp.sqrt(dot(b, b))
+    rz = _dot64(r, z, b.dtype)
+    bn = jnp.sqrt(_dot64(b, b, b.dtype))
     bn = jnp.where(bn > 0, bn, 1.0)
+    return (x0, r, z, z, rz, bn)
+
+
+def _pcg_flat(A, M, state, tol, maxiter):
+    """Chunk-bounded PCG on (N,3) arrays with lane-free scalars.
+
+    `state` is the tuple from `_pcg_init` (or a previous `_pcg_flat` call);
+    carrying (r, p, z, rz) across device dispatches makes the chunked loop
+    MATHEMATICALLY IDENTICAL to one uninterrupted PCG — restarting from x
+    each chunk (round-1 behavior) discards the Krylov direction and, with
+    the small chunk sizes the axon worker's ~1-min dispatch kill forces,
+    collapses convergence to steepest-descent-like rates (measured: 0.95x
+    vs 0.3x residual contraction per 8 iterations at the 2.5M-DOF flagship).
+    """
+    x0, r0, p0, z0, rz0, bn = state
+    dtype = x0.dtype
     tol2 = (tol * bn) ** 2
 
     def cond(st):
         _, r, _, _, _, k = st
-        return (dot(r, r) > tol2) & (k < maxiter)
+        return (_dot64(r, r, dtype) > tol2) & (k < maxiter)
 
     def step(st):
         x, r, p, z, rz, k = st
         Ap = A(p)
-        denom = dot(p, Ap)
+        denom = _dot64(p, Ap, dtype)
         alpha = jnp.where(denom == 0, 0.0, rz / jnp.where(denom == 0, 1.0, denom))
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = dot(r, z)
+        rz_new = _dot64(r, z, dtype)
         beta = jnp.where(rz == 0, 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
         p = z + beta * p
         return (x, r, p, z, rz_new, k + 1)
 
-    x, r, p, z, rz, k = jax.lax.while_loop(cond, step, (x, r, p, z, rz, jnp.int32(0)))
-    rel = jnp.sqrt(dot(r, r)) / bn
-    return x, k, rel, rel <= tol
+    x, r, p, z, rz, k = jax.lax.while_loop(
+        cond, step, (x0, r0, p0, z0, rz0, jnp.int32(0))
+    )
+    rel = jnp.sqrt(_dot64(r, r, dtype)) / bn
+    return (x, r, p, z, rz, bn), k, rel, rel <= tol

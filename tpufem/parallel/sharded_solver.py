@@ -1,15 +1,20 @@
-"""Mesh-sharded FEM solve via GSPMD sharding annotations.
+"""Mesh-sharded FEM solve via GSPMD sharding annotations (CROSS-CHECK PATH).
 
-The ~1M-DOF tet10 config (BASELINE.json config 5) needs the PCG state and the
-element arrays distributed across chips. This module expresses the solve with
-global semantics + `NamedSharding` annotations and lets XLA's SPMD partitioner
-insert the collectives (the scaling-book recipe: pick a mesh, annotate, let XLA
-insert collectives). Node-state vectors (x, r, p, z) are sharded over the
-'mesh' axis; element arrays (tets, grads, vols) likewise. The irregular
-gather/scatter induces all-gather/reduce-scatter pairs over ICI.
+This module expresses the wing solve with global semantics + `NamedSharding`
+annotations and lets XLA's SPMD partitioner insert the collectives (the
+scaling-book recipe: pick a mesh, annotate, let XLA insert collectives).
+Node-state vectors (x, r, p, z) are sharded over the 'mesh' axis; element
+arrays (tets, grads, vols) likewise. The irregular gather/scatter induces
+all-gather/reduce-scatter pairs over ICI.
 
-A hand-scheduled halo-exchange variant that exploits the structured wing
-topology's spanwise locality lives in tpufem.parallel.halo_pcg.
+STATUS: correctness cross-check, not the production sharded path. It uses a
+plain Jacobi preconditioner, which on wing meshes only converges reliably with
+f64 CG state (tpufem/fem/precond.py's measured finding); `sharded_pcg_solve`
+therefore requires float64 inputs and raises otherwise. The PRODUCTION
+sharded solver — two-level (thickness-line + RBM coarse) preconditioning,
+tet4/tet10, uneven slabs, hand-scheduled ppermute halo exchange over ICI —
+is tpufem.parallel.halo_pcg (BASELINE.json config 5). Tests use this module
+to cross-validate halo_pcg against an independently-derived parallel solve.
 """
 
 from __future__ import annotations
@@ -52,6 +57,13 @@ def sharded_pcg_solve(
     Returns (u (N,3), iters, rel_residual) with N the original node count.
     """
     import numpy as np
+
+    if np.asarray(nodes).dtype != np.float64:
+        raise TypeError(
+            "sharded_pcg_solve is a Jacobi-preconditioned f64 cross-check path; "
+            "f32 Jacobi CG diverges on wing meshes (tpufem/fem/precond.py). "
+            "Use tpufem.parallel.halo_pcg for production sharded solves."
+        )
 
     n_dev = mesh.devices.size
     N = nodes.shape[0]
