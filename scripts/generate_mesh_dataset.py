@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     res = WingMeshResolution(args.n_chord, args.n_span, args.n_thick,
                              te_floor_frac=args.te_floor_frac, spacing=args.spacing)
     rows = [r for r in read_csv_rows(paths.data / "params.csv") if r["status"] == "success"]
+    # params.csv is append-only (reference posture) — resumed runs append
+    # duplicate rows for cached cases; keep one row per case id
+    seen: set[str] = set()
+    rows = [r for r in rows if not (r["case_id"] in seen or seen.add(r["case_id"]))]
     # keep only cases whose geometry artifacts exist (reference :58-62)
     rows = [r for r in rows if (paths.geometry_case(r["case_id"]) / "params.json").exists()]
     if args.limit:

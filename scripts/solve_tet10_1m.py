@@ -52,6 +52,9 @@ def main() -> None:
     ap.add_argument("--elem_chunk", type=int, default=73344,
                     help="element-chunked operator application (HBM bound); "
                          "0 = dense single-kernel apply")
+    ap.add_argument("--no_xprec", action="store_true",
+                    help="skip the host 80-bit extended-precision residual "
+                         "certification of the final solution")
     args = ap.parse_args()
 
     from tpufem.fem.tet10 import tet10_from_tet4
@@ -84,6 +87,31 @@ def main() -> None:
     )
     wall = time.perf_counter() - t0
 
+    xprec_rel = None
+    if not args.no_xprec and not args.f32_outer:
+        # certify the solution on the host in 80-bit extended precision —
+        # below the reach of both f64 CG recurrence drift and on-device f64
+        # evaluation (tpufem.fem.xprec)
+        from tpufem.fem.material import Material, lame_params
+        from tpufem.fem.tet10 import pressure_loads_t6, tet10_setup, tet10_upper_t6
+        from tpufem.fem.xprec import tet10_residual_xprec
+
+        t_x = time.perf_counter()
+        lam, mu = lame_params(Material())
+        nodes64 = jnp.asarray(t10.nodes10(t10.mesh4.nodes), jnp.float64)
+        conn = jnp.asarray(t10.tet10)
+        Jinv64, vols64 = tet10_setup(nodes64, conn)
+        ut6 = jnp.asarray(tet10_upper_t6(t10, bs.surf_upper_faces))
+        b64 = pressure_loads_t6(nodes64, ut6, jnp.asarray(args.pressure, jnp.float64),
+                                t10.num_nodes)
+        b64 = np.asarray(b64) * np.asarray(solver.free.astype(jnp.float64))
+        xprec_rel, _ = tet10_residual_xprec(
+            np.asarray(Jinv64), np.asarray(vols64), np.asarray(conn), b64,
+            out.u, np.asarray(solver.free), float(lam), float(mu),
+        )
+        print(f"xprec (80-bit host) TRUE rel: {xprec_rel:.3e} "
+              f"({time.perf_counter() - t_x:.1f} s)", flush=True)
+
     vm = out.vm
     rec = {
         "metric": "fem_tet10_1mdof_mg_pcg_single_chip",
@@ -98,6 +126,7 @@ def main() -> None:
             "tol": args.tol,
             "residual_metric": ("recurred f32" if args.f32_outer
                                  else "true f64 residual"),
+            "xprec_rel_residual": xprec_rel,
             "mode": ("f32" if args.f32_outer
                      else f"refine x{args.refine}" if args.refine else "f64 outer"),
             "max_vm_mpa": round(float(np.max(vm)) / 1e6, 3),

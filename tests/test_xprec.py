@@ -1,0 +1,96 @@
+"""Extended-precision residual certification (tpufem.fem.xprec).
+
+Pins the measured precision story of the tet10 solver stack (see
+tpufem/fem/tet10_mg.py module docstring):
+  - the host 80-bit evaluator agrees with the on-device one-shot f64
+    residual evaluation (the f64 measurement is honest),
+  - pure-f64 CG recurrence DRIFTS from the true residual (~eps*kappa*iters),
+  - mixed-precision refinement beats pure f64 CG on the true residual
+    because each round restarts from a freshly computed residual.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpufem.fem.material import Material, lame_params
+from tpufem.fem.tet10 import (
+    pressure_loads_t6,
+    tet10_from_tet4,
+    tet10_setup,
+    tet10_upper_t6,
+)
+from tpufem.fem.tet10_mg import Tet10MGSolver
+from tpufem.fem.xprec import tet10_residual_xprec
+from tpufem.mesher import WingMeshResolution, structured_wing_mesh
+from tpufem.sets import build_boundary_sets
+
+RES = WingMeshResolution(16, 16, 4, te_floor_frac=0.006, spacing="le")
+P4 = (1.4, 0.3, 15.0, 0.09)
+
+
+def _system():
+    mesh = structured_wing_mesh(*P4, RES)
+    bs = build_boundary_sets(mesh)
+    t10 = tet10_from_tet4(mesh)
+    lam, mu = lame_params(Material())
+    nodes64 = jnp.asarray(t10.nodes10(t10.mesh4.nodes), jnp.float64)
+    conn = jnp.asarray(t10.tet10)
+    Jinv64, vols64 = tet10_setup(nodes64, conn)
+    return mesh, bs, t10, lam, mu, nodes64, conn, Jinv64, vols64
+
+
+def test_xprec_matches_f64_operator_on_random_x():
+    _, bs, t10, lam, mu, nodes64, conn, Jinv64, vols64 = _system()
+    solver = Tet10MGSolver(RES, t10, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(t10.num_nodes, 3)) * 1e-4
+    free = np.asarray(solver.free)
+    # b=0 makes rel = ||K x|| / 1 comparisons direct
+    _, rn = tet10_residual_xprec(
+        Jinv64, vols64, conn, np.zeros_like(x), x, free, float(lam), float(mu)
+    )
+    from tpufem.fem.tet10 import tet10_force
+
+    free64 = solver.free.astype(jnp.float64)
+    xj = jnp.asarray(x)
+    y = tet10_force(Jinv64, vols64, conn, xj * free64, jnp.asarray(lam, jnp.float64),
+                    jnp.asarray(mu, jnp.float64), t10.num_nodes)
+    y = y * free64 + xj * (1.0 - free64)
+    rn_jax = float(jnp.sqrt((y * y).sum()))
+    assert abs(rn - rn_jax) / rn_jax < 1e-12
+
+
+def test_refinement_beats_pure_f64_cg_on_true_residual():
+    _, bs, t10, lam, mu, nodes64, conn, Jinv64, vols64 = _system()
+
+    def true_rel(solver, u):
+        b64 = pressure_loads_t6(
+            nodes64, jnp.asarray(tet10_upper_t6(t10, bs.surf_upper_faces)),
+            jnp.asarray(5e3, jnp.float64), solver.N10,
+        ) * solver.free.astype(jnp.float64)
+        rel, _ = tet10_residual_xprec(
+            Jinv64, vols64, conn, np.asarray(b64), u, np.asarray(solver.free),
+            float(lam), float(mu),
+        )
+        return rel
+
+    f64s = Tet10MGSolver(RES, t10, dtype=jnp.float64)
+    ref = f64s.solve(P4, bs.surf_upper_faces, pressure=5e3, tol=1e-11, maxiter=3000)
+    assert ref.converged
+    rel_f64 = true_rel(f64s, ref.u)
+    # recurrence drift: recurred says ~1e-11, truth is orders worse
+    assert ref.rel_residual < 1e-10
+    assert rel_f64 > 100 * ref.rel_residual
+
+    s32 = Tet10MGSolver(RES, t10, dtype=jnp.float32)
+    out = s32.solve(
+        P4, bs.surf_upper_faces, pressure=5e3, tol=5e-7, maxiter=8000,
+        chunk_iters=200, refine_steps=6, inner_tol=1e-4,
+    )
+    assert out.converged
+    assert out.u.dtype == np.float64  # certified state survives to the caller
+    rel_refined = true_rel(s32, out.u)
+    # the solver's own f64 evaluation is honest (within 2x of 80-bit truth)
+    assert rel_refined < 2 * out.rel_residual + 1e-12
+    # refinement beats uninterrupted f64 CG on the true residual
+    assert rel_refined < rel_f64

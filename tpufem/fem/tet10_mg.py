@@ -19,19 +19,23 @@ loop is plain chunked PCG (chunks bounded for the axon worker); `outer_f64`
 runs the outer operator/state in f64 with the f32 preconditioner, removing
 the f32 true-residual floor (same design as stencil_mg.WingStencilT).
 
-MEASURED PRECISION LIMITS (16x16x4 wing, kappa ~1e9; scale-dependent):
+MEASURED PRECISION BEHAVIOR (16x16x4 wing, kappa ~1e9; cross-checked with
+the 80-bit host evaluator tpufem.fem.xprec):
   - f32 recurred residual: meaningless at this conditioning — recurred
     9.9e-5 while the true f64 residual was 6.0e+2 after the inner solve.
-  - mixed-precision refinement: converges the computed f64 residual to an
-    ~1.8e-7 floor; beyond that the correction rounds chase noise.
-  - the computed f64 residual ITSELF saturates at element-cancellation
-    noise (per-element force magnitudes ~kappa_elem above the assembled
-    residual, so eps_f64 rounding floors the metric): a pure-f64 CG run to
-    recurred rel 8.6e-12 EVALUATES to 2.4e-6 on the same metric. The
-    refined-f32 solution measures better (1.8e-7) because refinement
-    explicitly minimizes the computed residual. Tolerances below the
-    evaluation floor are not certifiable in f64 arithmetic at a given
-    conditioning (~7e-6 at the 2.5M-DOF flagship, hence its tol 1e-5).
+  - f64 CG RECURRENCE DRIFT: a pure-f64 CG run to recurred rel 8.6e-12 has
+    TRUE residual 2.4e-6 (xprec-certified — the one-shot f64 evaluation
+    agrees, so the drift is in the recurrence, not the measurement). This
+    is the classic ~eps*kappa*iters CG bound made concrete.
+  - mixed-precision refinement BEATS pure f64 CG: every round restarts from
+    a freshly COMPUTED residual, resetting recurrence drift, so the refined
+    f32 solution reaches true rel ~1.8e-7 — 13x below what uninterrupted
+    f64 CG attains at the same conditioning.
+  - the f64 solution state must survive to the caller: casting u to f32 at
+    the output boundary costs ~kappa*eps_f32 relative residual (measured
+    7e+1 via xprec), so refined/f64 paths return u in f64.
+  - the refinement floor (~1.8e-7 here, ~7.6e-6 at the 2.5M-DOF flagship)
+    scales with conditioning; flagship tol 1e-5 sits above it.
 """
 
 from __future__ import annotations
@@ -308,9 +312,9 @@ class Tet10MGSolver:
         from tpufem.fem.material import Material, lame_params
 
         material = material or Material()
-        lam, mu = lame_params(material)
-        lam = jnp.asarray(lam, self.dtype)
-        mu = jnp.asarray(mu, self.dtype)
+        lam_exact, mu_exact = lame_params(material)  # python floats (f64)
+        lam = jnp.asarray(lam_exact, self.dtype)
+        mu = jnp.asarray(mu_exact, self.dtype)
         p4 = jnp.asarray(np.asarray(params4), self.dtype)
         nodes10 = jnp.asarray(self.t10.nodes10(self.t10.mesh4.nodes), self.dtype)
         upper_t6 = jnp.asarray(tet10_upper_t6(self.t10, upper_face_idx))
@@ -327,15 +331,19 @@ class Tet10MGSolver:
             return self._solve_refine(
                 Jinv, vols, Binv, lmax, smg_state, lam, mu, b, upper_t6,
                 pressure, tol, maxiter, chunk_iters, refine_steps, inner_tol,
-                progress,
+                progress, lam_exact=lam_exact, mu_exact=mu_exact,
             )
 
         if outer_f64:
             f64 = jnp.float64
             nodes64 = jnp.asarray(self.t10.nodes10(self.t10.mesh4.nodes), f64)
             Jinv64, vols64 = tet10_setup(nodes64, self.conn)
-            lam64 = jnp.asarray(float(lam), f64)
-            mu64 = jnp.asarray(float(mu), f64)
+            # exact material constants: rebuilding them from the f32-cast
+            # values perturbs the f64 system by ~eps_f32 relative, which at
+            # element-force magnitudes costs ~5e-5 relative residual against
+            # the exact-material system (measured via xprec)
+            lam64 = jnp.asarray(lam_exact, f64)
+            mu64 = jnp.asarray(mu_exact, f64)
             b64 = pressure_loads_t6(nodes64, upper_t6, jnp.asarray(pressure, f64), self.N10)
             b64 = b64 * self.free.astype(f64)
             state = self._jit_init64(
@@ -368,9 +376,14 @@ class Tet10MGSolver:
             if conv or int(k) < step:
                 break
         x = state[0]
-        u, vm = self._jit_recover(Jinv, vols, x.astype(self.dtype), lam, mu)
+        _, vm = self._jit_recover(Jinv, vols, x.astype(self.dtype), lam, mu)
+        # u keeps the solve dtype: casting the f64-outer solution to f32 at
+        # the output boundary would forfeit its certified residual (eps_f32
+        # rounding of u alone costs ~kappa*eps_f32 ~ 7e+1 relative residual
+        # at this conditioning — measured via the xprec evaluator)
+        u = np.asarray(x) * np.asarray(self.free.astype(x.dtype))
         return Tet10MGResult(
-            u=np.asarray(u), vm=np.asarray(vm), iters=total,
+            u=u, vm=np.asarray(vm), iters=total,
             rel_residual=rel, converged=conv,
         )
 
@@ -395,13 +408,17 @@ class Tet10MGSolver:
 
     def _solve_refine(self, Jinv, vols, Binv, lmax, smg_state, lam, mu, b,
                       upper_t6, pressure, tol, maxiter, chunk_iters,
-                      refine_steps, inner_tol, progress):
+                      refine_steps, inner_tol, progress,
+                      lam_exact=None, mu_exact=None):
         """Mixed-precision refinement loop (see solve docstring)."""
         f64 = jnp.float64
         nodes64 = jnp.asarray(self.t10.nodes10(self.t10.mesh4.nodes), f64)
         Jinv64, vols64 = tet10_setup(nodes64, self.conn)
-        lam64 = jnp.asarray(float(lam), f64)
-        mu64 = jnp.asarray(float(mu), f64)
+        # exact material constants (see solve's outer_f64 branch): f32-cast
+        # lam/mu would define a system ~eps_f32 away, costing ~5e-5 relative
+        # residual against the exact-material one (measured via xprec)
+        lam64 = jnp.asarray(float(lam) if lam_exact is None else lam_exact, f64)
+        mu64 = jnp.asarray(float(mu) if mu_exact is None else mu_exact, f64)
         b64 = pressure_loads_t6(nodes64, upper_t6, jnp.asarray(pressure, f64), self.N10)
         b64 = b64 * self.free.astype(f64)
 
@@ -467,16 +484,22 @@ class Tet10MGSolver:
                 if int(k) < step:
                     break
             x64 = st64[0]
-            # the polish minimizes its own recurrence, not the computed
-            # residual — the one-shot evaluation of its result sits at raw
-            # element-cancellation noise. A final refinement pass re-targets
-            # the computed metric and recovers the (lower) refinement floor.
+            # the polish minimizes its own RECURRED residual, which drifts
+            # from the true one by ~eps_f64*kappa per the classic CG bound
+            # (measured: recurred 8.7e-10 while the true residual was still
+            # ~2e-6). A final refinement pass — each round restarts from a
+            # freshly computed residual, resetting recurrence drift — drives
+            # the TRUE residual to the refinement floor.
             x64, total, rel = refine_rounds(x64, total, rel)
         _, rel = self._jit_resid64(Jinv64, vols64, lam64, mu64, b64, x64)
         rel = float(rel)
-        u, vm = self._jit_recover(Jinv, vols, x64.astype(self.dtype), lam, mu)
+        _, vm = self._jit_recover(Jinv, vols, x64.astype(self.dtype), lam, mu)
+        # return u in f64: the refined solution's residual is certified at
+        # the f64 state — an f32 cast alone costs ~kappa*eps_f32 relative
+        # residual (measured 7e+1 at the 16x16x4 mesh via xprec)
+        u64 = np.asarray(x64) * np.asarray(self.free.astype(jnp.float64))
         return Tet10MGResult(
-            u=np.asarray(u), vm=np.asarray(vm), iters=total,
+            u=u64, vm=np.asarray(vm), iters=total,
             rel_residual=rel, converged=rel <= tol,
         )
 

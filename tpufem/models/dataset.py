@@ -78,9 +78,16 @@ class WingStressDataset:
         info_path.write_text(json.dumps(self.splits, indent=2))
         self._graphs: dict[str, list[GraphData]] | None = None
         self.use_cache = cache
+        # cache keys carry a fingerprint of the case set: a seed-only key
+        # would silently serve stale graphs after the dataset grows
+        import hashlib
+
+        self._fp = hashlib.sha256(
+            ",".join(sorted(self.case_ids)).encode()
+        ).hexdigest()[:10]
 
     def graphs(self, split: str) -> list[GraphData]:
-        cache_p = self.cache_dir / f"{split}_s{self.seed}.npz"
+        cache_p = self.cache_dir / f"{split}_s{self.seed}_{self._fp}.npz"
         if self.use_cache and cache_p.exists():
             return _load_graphs_npz(cache_p)
         raw = [load_case_graph(cid, self.paths) for cid in self.splits[split]]
@@ -95,7 +102,7 @@ class WingStressDataset:
         return padded
 
     def _max_dims(self, case_ids: list[str]) -> tuple[int, int]:
-        dims_p = self.cache_dir / f"dims_s{self.seed}.json"
+        dims_p = self.cache_dir / f"dims_s{self.seed}_{self._fp}.json"
         if self.use_cache and dims_p.exists():
             d = json.loads(dims_p.read_text())
             return d["n_max"], d["e_max"]
