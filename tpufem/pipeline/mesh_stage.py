@@ -85,9 +85,29 @@ def run_mesh_case(
 
     with timed() as t:
         try:
+            cached = None
             if mesh_path.exists() and sets_path.exists() and not force:
+                cached = load_mesh_npz(mesh_path)
+                if "station_id" in cached.meta and user_msh is None:
+                    # validate the cached mesh against the REQUESTED
+                    # resolution: structured node counts are a function of
+                    # the resolution alone, so a mismatch means the cache
+                    # holds a different-resolution mesh. Treating that as a
+                    # hit (round-2 bug) silently produced mixed-resolution
+                    # datasets with stage reports claiming the requested
+                    # resolution.
+                    from tpufem.mesher import wing_topology
+
+                    if wing_topology(resolution).num_nodes != cached.num_nodes:
+                        extra["cache_invalidated"] = (
+                            f"cached mesh has {cached.num_nodes} nodes; "
+                            f"resolution {resolution.key} expects "
+                            f"{wing_topology(resolution).num_nodes}"
+                        )
+                        cached = None
+            if cached is not None:
                 extra["cache_hit"] = True
-                mesh = load_mesh_npz(mesh_path)
+                mesh = cached
                 quality = compute_tet_quality(mesh)
             else:
                 if user_msh is not None:
