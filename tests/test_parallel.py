@@ -42,6 +42,24 @@ def test_halo_pcg_matches_single_device(n_dev):
     assert err < 1e-8, err
 
 
+def test_halo_pcg_chunked_matches_single_dispatch():
+    """Dispatch-bounded halo PCG (Krylov state carried across shard_map
+    dispatches) must be EXACTLY the single-dispatch solve — chunk bounding
+    exists because long dispatches kill tunneled TPU workers (~1 min)."""
+    m, bs, ref = _reference_solution()
+    part = build_halo_partition(RES, 4, *PARAMS, dtype=np.float64)
+    mesh = make_mesh(4)
+    u1, it1, rel1 = halo_pcg_solve(
+        part, mesh, pressure=200.0, tol=1e-10, maxiter=20000, dtype=jnp.float64
+    )
+    u2, it2, rel2 = halo_pcg_solve(
+        part, mesh, pressure=200.0, tol=1e-10, maxiter=20000, dtype=jnp.float64,
+        chunk_iters=13,
+    )
+    assert it2 == it1 and rel2 <= 1e-10
+    assert np.abs(u1 - u2).max() == 0.0  # bit-identical Krylov trajectory
+
+
 def test_halo_pcg_uneven_slabs():
     """19 span stations over 8 devices — the divisibility constraint that
     excluded the flagship resolution in round 1 is gone."""

@@ -304,10 +304,18 @@ def halo_pcg_solve(
     axis: str = "mesh",
     dtype=jnp.float32,
     two_level: bool = True,
+    chunk_iters: int | None = None,
 ):
     """Run the halo-exchange two-level-preconditioned PCG over `mesh` (jax
     device mesh). Returns (u (num_nodes, 3) in ORIGINAL node order, iters,
-    rel_residual)."""
+    rel_residual).
+
+    chunk_iters bounds the iterations per device dispatch (None = one
+    dispatch): long dispatches kill tunneled TPU workers (~1 min). The
+    Krylov state (x, r, p, z, rz) is carried across dispatches, so the
+    chunked solve is mathematically identical to the single-dispatch one;
+    the chunk length and warm flag are traced scalars, so every chunk reuses
+    ONE compiled program."""
     lam, mu = lame_params(material)
     lam = jnp.asarray(lam, dtype)
     mu = jnp.asarray(mu, dtype)
@@ -336,12 +344,14 @@ def halo_pcg_solve(
         return jax.lax.ppermute(x, axis, perm)
 
     def body(nodes_l, nmask, elems, emask, faces, fmask, free_l,
-             node_st, node_sl, el_st, el_sl, st_nodes, sl_valid, ngroup):
+             node_st, node_sl, el_st, el_sl, st_nodes, sl_valid, ngroup,
+             cg_x, cg_r, cg_p, cg_z, cg_rz, warm, n_iters):
         (nodes_l, nmask, elems, emask, faces, fmask, free_l, node_st, node_sl,
          el_st, el_sl, st_nodes, sl_valid, ngroup) = (
             a[0] for a in (nodes_l, nmask, elems, emask, faces, fmask, free_l,
                            node_st, node_sl, el_st, el_sl, st_nodes, sl_valid, ngroup)
         )
+        cg_x, cg_r, cg_p, cg_z = (a[0] for a in (cg_x, cg_r, cg_p, cg_z))
 
         def extend(u):
             """(n_max, ...) -> (n_ext, ...) with ghosts from the next device."""
@@ -550,18 +560,28 @@ def halo_pcg_solve(
         def dot(u_, v_):
             return jax.lax.psum(jnp.vdot(u_, v_), axis)
 
-        x = jnp.zeros_like(b)
-        r = b
-        z = M(r)
-        p = z
-        rz = dot(r, z)
+        # fresh Krylov init from b, blended with the warm state carried
+        # across dispatches (warm is a traced 0/1 scalar so ONE compiled
+        # program serves the first and all subsequent chunks; the wasted
+        # fresh init costs one preconditioner apply per chunk). Carrying
+        # (r, p, z, rz) keeps chunk-bounded PCG mathematically identical to
+        # one uninterrupted solve — a per-chunk restart discards the Krylov
+        # direction (measured at the 2.5M-DOF flagship: contraction collapses
+        # 0.3x -> 0.95x per 8 iterations). Chunk bounding exists because very
+        # long single dispatches kill tunneled TPU workers (~1 min).
+        z0 = M(b)
+        x = warm * cg_x
+        r = jnp.where(warm > 0, cg_r, b)
+        z = jnp.where(warm > 0, cg_z, z0)
+        p = jnp.where(warm > 0, cg_p, z0)
+        rz = jnp.where(warm > 0, cg_rz, dot(b, z0))
         bnorm = jnp.sqrt(dot(b, b))
         bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
         tol2 = (tol * bnorm) ** 2
 
         def cond(state):
             _, r, _, _, _, k = state
-            return (dot(r, r) > tol2) & (k < maxiter)
+            return (dot(r, r) > tol2) & (k < n_iters)
 
         def step(state):
             x, r, p, z, rz, k = state
@@ -576,7 +596,7 @@ def halo_pcg_solve(
 
         x, r, p, z, rz, k = jax.lax.while_loop(cond, step, (x, r, p, z, rz, jnp.int32(0)))
         rel = jnp.sqrt(dot(r, r)) / bnorm
-        return (x * free3)[None], k, rel
+        return (x * free3)[None], r[None], p[None], z[None], rz, k, rel
 
     spec3 = P(axis, None, None)
     spec2 = P(axis, None)
@@ -584,13 +604,15 @@ def halo_pcg_solve(
         body,
         mesh=mesh,
         in_specs=(spec3, spec2, spec3, spec2, spec3, spec2, spec3,
-                  spec2, spec2, spec3, spec3, spec3, spec3, spec2),
-        out_specs=(spec3, P(), P()),
+                  spec2, spec2, spec3, spec3, spec3, spec3, spec2,
+                  spec3, spec3, spec3, spec3, P(), P(), P()),
+        out_specs=(spec3, spec3, spec3, spec3, P(), P(), P()),
         check_vma=False,
     )
+    fn = jax.jit(fn)
 
     put = lambda a, spec: jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))  # noqa: E731
-    u_shards, iters, rel = jax.jit(fn)(
+    fixed = (
         put(np.asarray(part.nodes, dtype), spec3),
         put(np.asarray(part.node_mask, dtype), spec2),
         put(part.elems, spec3),
@@ -606,6 +628,22 @@ def halo_pcg_solve(
         put(np.asarray(part.slot_valid, dtype), spec3),
         put(part.node_group, spec2),
     )
+    zero3 = put(np.zeros((part.n_devices, n_max, 3), np.dtype(dtype)), spec3)
+    sx, sr, sp, sz = zero3, zero3, zero3, zero3
+    srz = jnp.asarray(0.0, dtype)
+    warm = jnp.asarray(0.0, dtype)
+    chunk = maxiter if chunk_iters is None else chunk_iters
+    total = 0
+    while True:
+        step_n = min(chunk, maxiter - total)
+        sx, sr, sp, sz, srz, k, rel = fn(
+            *fixed, sx, sr, sp, sz, srz, warm, jnp.asarray(step_n, jnp.int32)
+        )
+        total += int(k)
+        warm = jnp.asarray(1.0, dtype)
+        if float(rel) <= tol or total >= maxiter or int(k) < step_n:
+            break
+    u_shards, iters = sx, total
     # unpad: concatenate each device's owned prefix, undo the span-major perm
     u_dev = np.asarray(u_shards)  # (D, n_max, 3)
     mask = np.asarray(part.node_mask) > 0
