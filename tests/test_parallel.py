@@ -118,6 +118,22 @@ def test_halo_partition_invariants():
     assert part.elems.max() < part.n_max + part.g_max
 
 
+def test_halo_partition_flagship_resolution():
+    """BASELINE config 5 literally: the ~2.5M-DOF tet10 flagship resolution
+    (NJ=129 span stations — indivisible by any device count, the round-1
+    blocker) must partition over 8 devices with uneven slabs."""
+    from tpufem.mesher import DOF1M_TET10
+
+    part = build_halo_partition(
+        DOF1M_TET10, 8, 1.6, 0.4, 20.0, 0.10, dtype=np.float32, element="tet10"
+    )
+    assert part.num_nodes == 837049
+    assert int(part.node_mask.sum()) == part.num_nodes
+    assert len(np.unique(part.perm)) == part.num_nodes
+    assert part.elems.min() >= 0
+    assert part.elems.max() < part.n_max + part.g_max
+
+
 def test_gspmd_sharded_solve():
     m, bs, ref = _reference_solution()
     mesh = make_mesh(8)
