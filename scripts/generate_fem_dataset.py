@@ -22,7 +22,10 @@ from tpufem.fem import WingSolveConfig  # noqa: E402
 from tpufem.fem.driver import FemSolution, surface_results  # noqa: E402
 from tpufem.fem.material import Material  # noqa: E402
 from tpufem.pipeline.config import get_paths  # noqa: E402
-from tpufem.pipeline.fem_stage import _stats, run_fem_case  # noqa: E402
+from tpufem.pipeline.fem_stage import (  # noqa: E402
+    run_fem_case,
+    write_case_artifacts,
+)
 from tpufem.pipeline.mesh_stage import load_mesh_npz  # noqa: E402
 from tpufem.pipeline.reports import (  # noqa: E402
     append_csv,
@@ -54,10 +57,13 @@ def main(argv: list[str] | None = None) -> int:
                          "structured topology, i.e. all meshes at one resolution)")
     ap.add_argument("--batch_size", type=int, default=0,
                     help="chunk batched solve (0 = all at once)")
-    ap.add_argument("--engine", choices=("twolevel", "stencil"), default="twolevel",
-                    help="batched solver engine: 'twolevel' = vmapped gather-path "
-                         "line+RBM PCG; 'stencil' = grid-layout MG-PCG with f64 "
-                         "outer CG (faster, true-f64 residuals; the bench.py path)")
+    ap.add_argument("--engine", choices=("twolevel", "stencil"), default="stencil",
+                    help="batched solver engine: 'stencil' (default) = grid-layout "
+                         "MG-PCG with f64 outer CG (the production/bench path, "
+                         "true-f64 residuals); 'twolevel' = vmapped gather-path "
+                         "line+RBM PCG (slow cross-check only)")
+    ap.add_argument("--no_glb", action="store_true",
+                    help="skip wing_result/arrow GLB emission (npz + report only)")
     ap.add_argument("--chunk_iters", type=int, default=200,
                     help="CG iterations per device dispatch (axon worker kills "
                          "dispatches over ~1 min wall-clock)")
@@ -218,33 +224,67 @@ def run_batched(paths, case_ids, args, material) -> list[StepReport]:
                 if not np.isfinite(sol.u).all() or not np.isfinite(sol.vm).all():
                     raise ValueError("nan/inf in solution")
                 surf = surface_results(mesh, ctx.sets, sol, span_m=plist[k].span_m)
-                np.savez_compressed(case_dir / "surface_results.npz", **surf)
-                masked = surf["stress_vm"][surf["loss_mask"]]
+                # full artifact parity with the sequential path: npz + result
+                # GLB + arrow GLB + disp/color blocks via the SAME writer
+                # (reference fem.py:642-693, 695-751)
                 extra = {
                     "pressure_pa": args.pressure,
                     "batched": True,
+                    "engine": args.engine,
                     "solver": {
                         "iters": sol.iters,
                         "rel_residual": sol.rel_residual,
                         "converged": sol.converged,
                     },
-                    "stress_stats": {
-                        "all_nodes": _stats(surf["stress_vm"]),
-                        "masked_nodes": _stats(masked),
-                    },
                 }
+                extra.update(
+                    write_case_artifacts(
+                        case_dir, cid, surf,
+                        mesh.surf_faces[ctx.sets.surf_all_faces],
+                        mesh.surf_faces[ctx.sets.surf_upper_faces],
+                        mesh.nodes,
+                        make_glb=not args.no_glb,
+                    )
+                )
             except Exception as e:  # noqa: BLE001
                 status, reason = "failed", f"{type(e).__name__}: {e}"
-                extra = {"pressure_pa": args.pressure, "batched": True}
-            rep = StepReport(
-                case_id=cid, step="fem", status=status, failure_reason=reason,
-                elapsed_ms=(time.perf_counter() - t_case) * 1e3,
-                artifacts={"surface_results": str(case_dir / "surface_results.npz")},
-                extra=extra,
-            )
-            write_report(case_dir, rep)
+                extra = {"pressure_pa": args.pressure, "batched": True,
+                         "engine": args.engine}
+            if status == "failed":
+                # per-lane recovery: re-solve just this case through the
+                # sequential driver, whose ladder escalates refined -> f64
+                # (tpufem's own retry policy must cover its production path)
+                print(f"[batched] {cid} failed ({reason}); retrying sequentially")
+                rep = run_fem_case(
+                    plist[k], cid, paths,
+                    pressure=args.pressure, material=material,
+                    solve_config=WingSolveConfig(
+                        pressure=args.pressure, material=material,
+                        tol=args.tol, maxiter=args.maxiter,
+                    ),
+                    force=True, make_glb=not args.no_glb,
+                )
+                rep.extra["batched_lane_failure"] = reason
+                write_report(case_dir, rep)
+            else:
+                rep = StepReport(
+                    case_id=cid, step="fem", status=status, failure_reason=reason,
+                    elapsed_ms=(time.perf_counter() - t_case) * 1e3,
+                    artifacts={
+                        key: str(p)
+                        for key, p in {
+                            "surface_results": case_dir / "surface_results.npz",
+                            "wing_result_glb": case_dir / "wing_result.glb",
+                            "wing_result_arrows_glb": case_dir / "wing_result_arrows.glb",
+                        }.items()
+                        if p.exists()
+                    },
+                    extra=extra,
+                )
+                write_report(case_dir, rep)
             reports.append(rep)
-            print(f"[batched] {cid} {status}" + (f" ({reason})" if reason else ""))
+            print(f"[batched] {cid} {rep.status}"
+                  + (f" ({rep.failure_reason})" if rep.failure_reason else ""))
     return reports
 
 

@@ -46,9 +46,10 @@ def main(argv: list[str] | None = None) -> int:
                              te_floor_frac=args.te_floor_frac, spacing=args.spacing)
     rows = [r for r in read_csv_rows(paths.data / "params.csv") if r["status"] == "success"]
     # params.csv is append-only (reference posture) — resumed runs append
-    # duplicate rows for cached cases; keep one row per case id
-    seen: set[str] = set()
-    rows = [r for r in rows if not (r["case_id"] in seen or seen.add(r["case_id"]))]
+    # duplicate rows for cached cases; keep the LAST row per case id (a
+    # regenerated case's newest parameters win over any stale earlier row)
+    by_id = {r["case_id"]: r for r in rows}
+    rows = list(by_id.values())
     # keep only cases whose geometry artifacts exist (reference :58-62)
     rows = [r for r in rows if (paths.geometry_case(r["case_id"]) / "params.json").exists()]
     if args.limit:

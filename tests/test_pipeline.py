@@ -276,11 +276,40 @@ def test_fem_retry_ladder_rescues_f32_divergence(tmp_path):
     run_geometry_case(hard, paths, case_id="hard")
     m = run_mesh_case(hard, "hard", paths, resolution=WingMeshResolution(32, 16, 3))
     assert m.status == "success", m.failure_reason
+    # engine="gather" pins the gather-path driver so the f32 failure -> f64
+    # rescue is actually exercised (the default "auto" routes structured
+    # meshes through the stencil MG engine, which handles this case outright)
     cfg = WingSolveConfig(pressure=5e3, tol=1e-6, dtype=jnp.float32,
-                          maxiter=3000, refine_steps=0)
+                          maxiter=3000, refine_steps=0, engine="gather")
     f = run_fem_case(hard, "hard", paths, pressure=5e3, solve_config=cfg)
     assert f.status == "success", f.failure_reason
     ladder = f.extra["solve_ladder"]
     assert ladder[0]["attempt"] == "primary" and not ladder[0]["ok"]
     assert ladder[-1]["ok"] and ladder[-1]["dtype"] == "float64"
     assert "spans" in f.extra and any(k.startswith("solve_") for k in f.extra["spans"])
+
+
+def test_fem_auto_routes_structured_mesh_through_stencil_engine(tmp_path):
+    """The default engine="auto" must solve a structured-resolution case via
+    the stencil MG engine (the production path) in ONE attempt, converging in
+    far fewer iterations than the gather two-level driver needs, and the f64
+    state's residual must be the one reported."""
+    from tpufem.fem.driver import WingSolveConfig
+    from tpufem.mesher import WingMeshResolution
+    from tpufem.pipeline.geometry_stage import run_geometry_case
+
+    p = WingParams(span_m=1.2, chord_m=0.35, sweep_deg=10.0, thickness_ratio=0.10)
+    paths = get_paths(tmp_path / "data").ensure()
+    run_geometry_case(p, paths, case_id="stencil_route")
+    m = run_mesh_case(p, "stencil_route", paths, resolution=WingMeshResolution(16, 16, 4))
+    assert m.status == "success", m.failure_reason
+    f = run_fem_case(
+        p, "stencil_route", paths, pressure=5e3,
+        solve_config=WingSolveConfig(pressure=5e3, tol=1e-6, maxiter=2000),
+    )
+    assert f.status == "success", f.failure_reason
+    assert "solve_ladder" not in f.extra  # first attempt succeeded
+    assert "solve_stencil_ms" in f.extra["spans"]
+    solver = f.extra["solver"]
+    assert solver["converged"] and solver["rel_residual"] <= 1e-6
+    assert solver["iters"] < 600  # MG iteration counts, not two-level's 1000s

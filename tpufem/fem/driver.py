@@ -51,6 +51,12 @@ class WingSolveConfig:
     # very long single dispatches; chunking also gives preemption points for
     # production serving. 0 = single dispatch.
     chunk_iters: int = 0
+    # Solver engine for the pipeline stage: "auto" routes structured wing
+    # meshes through the grid-layout stencil MG engine (WingStencilT at B=1,
+    # f64-outer CG — the production/bench path, ~10x fewer iterations than
+    # the gather-path two-level driver) and falls back to the gather path
+    # for unstructured/unsupported meshes; "gather" forces the fallback.
+    engine: str = "auto"
 
 
 @dataclass

@@ -592,9 +592,15 @@ class WingStencilT:
                 total += int(k)
                 if bool(jnp.all(conv)) or int(k) < step:
                     break
-            x = from_grid(self.res, cg[0].astype(self.dtype))
-            u, s6, vm = self.bt._jit_recover(grads, vols, x, lam, mu)
-            return BatchTSolveResult(nodes, u, s6, vm, total, rel, conv)
+            # u keeps the f64 state: the reported residual belongs to the f64
+            # solution, and an f32 output cast alone costs ~kappa*eps_f32
+            # relative residual (the xprec-measured corollary in tet10_mg) —
+            # datasets must store the solution the residual certifies.
+            x64 = cg[0]
+            x = from_grid(self.res, x64.astype(self.dtype))
+            _, s6, vm = self.bt._jit_recover(grads, vols, x, lam, mu)
+            u64 = from_grid(self.res, x64) * self.bt.free[:, :, None].astype(jnp.float64)
+            return BatchTSolveResult(nodes, u64, s6, vm, total, rel, conv)
 
         if refine_steps <= 0:
             xg, total, rel, conv = self._run_cg(bg, state, tol, maxiter, chunk_iters)
@@ -623,6 +629,9 @@ class WingStencilT:
             total += it
         r64, rel = self._jit_resid64(p464, press64, lam64, mu64, x64)
         conv = rel <= tol
+        # as in the outer_f64 branch: the residual certifies the f64 state,
+        # so that is the u the caller (and any dataset) must receive
         x = from_grid(self.res, x64.astype(self.dtype))
-        u, s6, vm = self.bt._jit_recover(grads, vols, x, lam, mu)
-        return BatchTSolveResult(nodes, u, s6, vm, total, rel, conv)
+        _, s6, vm = self.bt._jit_recover(grads, vols, x, lam, mu)
+        u64 = from_grid(self.res, x64) * self.bt.free[:, :, None].astype(jnp.float64)
+        return BatchTSolveResult(nodes, u64, s6, vm, total, rel, conv)

@@ -46,6 +46,19 @@ def tet10_residual_xprec(
     Returns (rel_residual, abs_residual_norm) as Python floats.
     """
     ld = np.longdouble
+    # np.longdouble is only 80-bit extended on x86-64; on aarch64/Windows it
+    # aliases f64 (eps ~2.2e-16) and "certification" would silently degrade
+    # to the f64 evaluation floor. Surface that instead of hiding it.
+    if np.finfo(ld).eps >= 1e-18:
+        import warnings
+
+        warnings.warn(
+            "numpy.longdouble is not extended precision on this platform "
+            f"(eps={float(np.finfo(ld).eps):.2e}); xprec residuals are "
+            "limited to the f64 evaluation floor",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     Jinv = np.asarray(Jinv).astype(ld)  # (T,3,3)
     vols = np.asarray(vols).astype(ld)  # (T,)
     conn = np.asarray(conn)  # (T,10)

@@ -78,13 +78,21 @@ class WingStressDataset:
         info_path.write_text(json.dumps(self.splits, indent=2))
         self._graphs: dict[str, list[GraphData]] | None = None
         self.use_cache = cache
-        # cache keys carry a fingerprint of the case set: a seed-only key
-        # would silently serve stale graphs after the dataset grows
+        # cache keys carry a fingerprint of the case set AND the FEM artifact
+        # files (size + mtime): a case-id-only key would serve stale graphs
+        # after re-solving the same cases (e.g. a different engine or tol)
         import hashlib
 
-        self._fp = hashlib.sha256(
-            ",".join(sorted(self.case_ids)).encode()
-        ).hexdigest()[:10]
+        h = hashlib.sha256()
+        for cid in sorted(self.case_ids):
+            h.update(cid.encode())
+            npz = paths.fem_case(cid) / "surface_results.npz"
+            try:
+                st = npz.stat()
+                h.update(f":{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                h.update(b":missing")
+        self._fp = h.hexdigest()[:10]
 
     def graphs(self, split: str) -> list[GraphData]:
         cache_p = self.cache_dir / f"{split}_s{self.seed}_{self._fp}.npz"
