@@ -1,5 +1,12 @@
 """Batched FEM dataset generation: vmapped assembly+PCG over wing cases.
 
+STATUS: CROSS-CHECK ENGINE ONLY. The production batched engine is
+tpufem.fem.stencil_mg.WingStencilT (grid-layout MG-PCG, the bench.py path and
+`generate_fem_dataset --batched` default since round 3); this leading-axis
+vmap form gathers 12-byte rows per node and measures ~100x off HBM speed
+(batched_t.py:3-6). It remains as the independent implementation the
+batched==sequential equivalence tests cross-check against.
+
 The reference generates its FEM dataset with one CalculiX subprocess per case,
 sequentially, "minutes per case" (scripts/generate_fem_dataset.py:91,
 README.md:34). tpufem exploits the structured mesher's fixed topology

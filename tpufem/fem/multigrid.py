@@ -1,5 +1,12 @@
 """Batched geometric multigrid preconditioner for the structured wing mesh.
 
+STATUS: CROSS-CHECK / REFERENCE IMPLEMENTATION. The production engine is
+tpufem.fem.stencil_mg (same mathematics re-expressed as grid slicing —
+measured 4.4x faster SpMV); this layout-agnostic form remains because (a) its
+coarsest-level host machinery (_level_host, coarsest_dense_inverse_host) is
+imported by stencil_mg, and (b) tests/test_stencil.py asserts the two MG
+preconditioners agree on the same system — the strongest cross-check of both.
+
 Round-1 measurement: the thickness-line block-Jacobi + single RBM coarse level
 leaves ~1500 CG iterations at 100k DOF (O(1/h^2) in-plane conditioning is
 reduced but not eliminated by one coarse space). This module removes the h

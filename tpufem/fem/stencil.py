@@ -71,11 +71,16 @@ def grid_meta(res: WingMeshResolution):
     }
 
 
-def nodes_grid(res: WingMeshResolution, p4, dtype):
-    """Full-grid node coordinates (3, B, NI, NK, NJ) from (B,4) params."""
+def nodes_grid(res: WingMeshResolution, p4, dtype, yfrac=None):
+    """Full-grid node coordinates (3, B, NI, NK, NJ) from (B,4) params.
+
+    yfrac overrides the span-fraction vector (default: the full 0..1 grid);
+    a device-local slice of it yields that device's span-slab coordinates —
+    the hook the span-sharded solver (tpufem.parallel.shard_stencil) uses to
+    build per-slab geometry without any host-side global array."""
     from tpufem.geometry import cosine_stations, le_stations, naca00xx_half_thickness
 
-    NI, NJ, NK = res.n_chord + 1, res.n_span + 1, res.n_thick + 1
+    NI, NK = res.n_chord + 1, res.n_thick + 1
     s = jnp.asarray(
         (le_stations if res.spacing == "le" else cosine_stations)(res.n_chord), dtype
     )  # (NI,)
@@ -88,7 +93,11 @@ def nodes_grid(res: WingMeshResolution, p4, dtype):
         ),
         dtype,
     )  # (NI,)
-    yfrac = jnp.asarray(np.arange(NJ) / res.n_span, dtype)  # (NJ,)
+    if yfrac is None:
+        yfrac = jnp.asarray(np.arange(res.n_span + 1) / res.n_span, dtype)  # (NJ,)
+    else:
+        yfrac = jnp.asarray(yfrac, dtype)
+    NJ = yfrac.shape[0]
     zfrac = jnp.asarray(2.0 * np.arange(NK) / res.n_thick - 1.0, dtype)  # (NK,)
     span, chord, sweep, t = (p4[:, i] for i in range(4))  # (B,)
 

@@ -329,23 +329,20 @@ def restrict_p(res: WingMeshResolution, r2, free4):
 # ------------------------------------------------------- thickness lines
 
 
-def line_blocks10(res: WingMeshResolution, geo, lam, mu, dup2, free2, dtype):
-    """Inverted per-(i2,j2)-station thickness-line blocks (NI2,NJ2,D2,D2,B).
+def line_blocks10_raw(res: WingMeshResolution, geo, lam, mu, dtype):
+    """Raw per-(i2,j2)-station thickness-line blocks (NI2,NJ2,NK2,3,NK2,3,B)
+    BEFORE weld folds / Dirichlet masking / inversion.
 
     Same-station pairs (same i2 AND j2 offsets) of each Kuhn tet contribute
     w * sum_{jj'} S2[m,m',j,j'] * (lam G_jj' + mu G_j'j + mu D_jj' I); the
-    quadrature constants fold into the precomputed _S2 tensor. Weld folds
-    mirror weld_reduce2/spread2 on both block axes; duplicate and Dirichlet
-    slots get identity rows.
+    quadrature constants fold into the precomputed _S2 tensor. The span axis
+    length follows geo (a span-sharded slab assembles its local stations; the
+    sharded solver syncs shared-layer partials before finalizing).
     """
-    from tpufem.fem.precond import spd_block_inverse
-
     g, vol = geo
     nb = vol.shape[1]
-    NI2 = 2 * res.n_chord + 1
-    NJ2 = 2 * res.n_span + 1
-    NK2 = 2 * res.n_thick + 1
-    nc, nt, ns = res.n_chord, res.n_thick, res.n_span
+    nc, nt, ns = vol.shape[-3], vol.shape[-2], vol.shape[-1]
+    NI2, NK2, NJ2 = 2 * nc + 1, 2 * nt + 1, 2 * ns + 1
     # accumulate in (NI2, NJ2, NK2, 3, dk+2, 3, B) layout: one slice-add per
     # same-station pair; dk = k2' - k2 in [-2, 2]
     Bacc = jnp.zeros((NI2, NJ2, NK2, 3, 5, 3, nb), dtype)
@@ -394,16 +391,24 @@ def line_blocks10(res: WingMeshResolution, geo, lam, mu, dup2, free2, dtype):
                     :,
                 ].add(add)
     # expand (k2, dk) -> dense (D2, D2) per station
-    D2 = 3 * NK2
     Bm = jnp.zeros((NI2, NJ2, NK2, 3, NK2, 3, nb), dtype)
     for dk in range(-2, 3):
-        lo = max(0, -dk)
-        hi = min(NK2, NK2 - dk)
-        if lo >= hi:
-            continue
-        Bm = Bm.at[:, :, lo:hi, :, lo + dk : hi + dk, :, :].add(
-            Bacc[:, :, lo:hi, :, dk + 2, :, :]
-        )
+        for k2 in range(max(0, -dk), min(NK2, NK2 - dk)):
+            Bm = Bm.at[:, :, k2, :, k2 + dk, :, :].add(
+                Bacc[:, :, k2, :, dk + 2, :, :]
+            )
+    return Bm
+
+
+def line_blocks10_finalize(res: WingMeshResolution, Bm, dup2, free2):
+    """Weld folds + duplicate/Dirichlet identity masking + inversion of raw
+    station blocks -> (NI2, NJ2loc, D2, D2, B) inverses."""
+    from tpufem.fem.precond import spd_block_inverse
+
+    dtype = Bm.dtype
+    NI2, NJ2, NK2 = Bm.shape[0], Bm.shape[1], Bm.shape[2]
+    nb = Bm.shape[-1]
+    D2 = 3 * NK2
     # weld folds (R ... S on both block axes), mirroring weld_reduce2:
     # i2=0: all k2 sum into slot 0 (rows and columns)
     row0 = Bm[0].sum(axis=(1, 3))  # (NJ2,3,3,B)
@@ -437,6 +442,13 @@ def line_blocks10(res: WingMeshResolution, geo, lam, mu, dup2, free2, dtype):
     flat = jnp.moveaxis(Bm, -1, 2).reshape(NI2 * NJ2 * nb, D2, D2)
     inv = spd_block_inverse(flat)
     return jnp.moveaxis(inv.reshape(NI2, NJ2, nb, D2, D2), 2, -1)
+
+
+def line_blocks10(res: WingMeshResolution, geo, lam, mu, dup2, free2, dtype):
+    """Single-device convenience: raw assembly + finalize in one call."""
+    return line_blocks10_finalize(
+        res, line_blocks10_raw(res, geo, lam, mu, dtype), dup2, free2
+    )
 
 
 def line_apply10(res: WingMeshResolution, Binv, rg, dup2, free2):
@@ -736,25 +748,27 @@ class Tet10StencilT:
             return cg, total, rel, conv
 
         def recover(xg):
-            """Gather-path nodal stress recovery (once per solve)."""
-            x = from_grid2(self.res, xg.astype(self.dtype))  # (N10,3,B)
+            """Gather-path nodal stress recovery (once per solve, f64)."""
+            f64r = jnp.float64
+            x = from_grid2(self.res, xg.astype(f64r))  # (N10,3,B)
             p464 = np.asarray(params4, np.float64)
             from tpufem.fem.tet10 import tet10_stress_nodal
             from tpufem.fem.vonmises import von_mises
             from tpufem.mesher import nodes_from_params, wing_topology
 
             topo = wing_topology(self.res)
+            lam_r = jnp.asarray(lam_exact, f64r)
+            mu_r = jnp.asarray(mu_exact, f64r)
             vms = []
             for b in range(nb):
                 n4 = nodes_from_params(
-                    jnp.asarray(topo.node_basis, self.dtype),
-                    *p464[b], topo.te_floor,
+                    jnp.asarray(topo.node_basis, f64r), *p464[b], topo.te_floor
                 )
                 n10 = self.t10.nodes10(n4)
                 Jinv, vols = tet10_setup(n10, jnp.asarray(self.t10.tet10))
                 s6 = tet10_stress_nodal(
                     Jinv, vols, jnp.asarray(self.t10.tet10), x[:, :, b],
-                    lam, mu, self.N10,
+                    lam_r, mu_r, self.N10,
                 )
                 vms.append(np.asarray(von_mises(s6)))
             return np.stack(vms, axis=1)  # (N10,B)
@@ -779,7 +793,8 @@ class Tet10StencilT:
             cg, total, rel, conv = run_chunks(chunk_fn, cg, tol, maxiter)
             x64 = cg[0]
             vm = recover(x64)
-            u = np.moveaxis(np.asarray(from_grid2(self.res, x64)), 1, 1)
+            # u stays f64: the reported residual certifies the f64 state
+            u = np.asarray(from_grid2(self.res, x64))
             return _Result(u, vm, total, np.asarray(rel), np.asarray(conv))
 
         chunk_fn = lambda c, t_, s: self._jit_chunk(  # noqa: E731
