@@ -35,6 +35,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None, help="jax.profiler trace output dir")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--mode", choices=("refine", "outer64"), default="outer64",
+                    help="outer64 (default): emulated-f64 operator CG with the "
+                         "f32 V-cycle — reaches tol 1e-6 on the TRUE residual "
+                         "in ~230 iters. 'refine' (measured 2026-08-17): the "
+                         "f32-correction floor at this conditioning is ~3.3e-6, "
+                         "ABOVE tol 1e-6 (321 iters, not converged) — kept "
+                         "only for comparison runs")
     args = ap.parse_args()
 
     from tpufem.fem.stencil_mg import WingStencilT
@@ -49,23 +56,35 @@ def main() -> None:
 
     st = WingStencilT(DOF100K, dtype=jnp.float32)
     rng = np.random.default_rng(42)
-    p4 = np.stack(
-        [
-            rng.uniform(*PRD_RANGES["span_m"], batch),
-            rng.uniform(*PRD_RANGES["chord_m"], batch),
-            rng.uniform(*PRD_RANGES["sweep_deg"], batch),
-            rng.uniform(*PRD_RANGES["thickness_ratio"], batch),
-        ],
-        axis=1,
-    ).astype(np.float32)
 
-    # warmup/compile
-    out = st.solve(p4, pressure=5e3, tol=tol, maxiter=chunk, chunk_iters=chunk, outer_f64=True)
+    def sample(n):
+        return np.stack(
+            [
+                rng.uniform(*PRD_RANGES["span_m"], n),
+                rng.uniform(*PRD_RANGES["chord_m"], n),
+                rng.uniform(*PRD_RANGES["sweep_deg"], n),
+                rng.uniform(*PRD_RANGES["thickness_ratio"], n),
+            ],
+            axis=1,
+        ).astype(np.float32)
+
+    # warmup/compile on a DIFFERENT batch: the timed run must pay the full
+    # per-case cost (setup + solve) — WingStencilT caches setup state per
+    # param batch, so timing the warmup batch again would skip real work
+    warm_p4 = sample(batch)
+    p4 = sample(batch)
+    kw = (
+        dict(outer_f64=True)
+        if args.mode == "outer64"
+        else dict(refine_steps=4, inner_tol=1e-3)
+    )
+    out = st.solve(warm_p4, pressure=5e3, tol=tol, maxiter=maxiter,
+                   chunk_iters=chunk, **kw)
 
     t0 = time.perf_counter()
     with trace(args.trace):
         out = st.solve(
-            p4, pressure=5e3, tol=tol, maxiter=maxiter, chunk_iters=chunk, outer_f64=True
+            p4, pressure=5e3, tol=tol, maxiter=maxiter, chunk_iters=chunk, **kw
         )
     elapsed = time.perf_counter() - t0
     per_case = elapsed / batch
@@ -86,7 +105,12 @@ def main() -> None:
                     "max_rel_residual": float(np.max(np.asarray(out.rel_residual))),
                     "all_converged": bool(np.all(np.asarray(out.converged))),
                     "total_s": round(elapsed, 3),
-                    "solver": "stencil-grid MG-PCG (f64 operator, f32 V-cycle)",
+                    "solver": (
+                        "stencil-grid MG-PCG (f64 operator, f32 V-cycle)"
+                        if args.mode == "outer64"
+                        else "stencil-grid MG-PCG (f32 + mixed-precision "
+                             "refinement, TRUE f64 residual)"
+                    ),
                     "device": str(jax.devices()[0]),
                 },
             }

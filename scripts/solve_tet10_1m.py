@@ -55,10 +55,17 @@ def main() -> None:
     ap.add_argument("--no_xprec", action="store_true",
                     help="skip the host 80-bit extended-precision residual "
                          "certification of the final solution")
+    ap.add_argument("--engine", choices=("stencil", "gather"), default="stencil",
+                    help="'stencil' (default): grid-native doubled-grid tet10 "
+                         "operator (tpufem.fem.tet10_stencil) — slice-only "
+                         "SpMV, no element gathers; 'gather': the round-2 "
+                         "incidence-gather p-MG (tpufem.fem.tet10_mg)")
+    ap.add_argument("--repeat", action="store_true",
+                    help="solve twice and report the warm (compile-cached) "
+                         "wall as the headline; first-run wall in detail")
     args = ap.parse_args()
 
     from tpufem.fem.tet10 import tet10_from_tet4
-    from tpufem.fem.tet10_mg import Tet10MGSolver
     from tpufem.mesher import DOF1M_TET10, structured_wing_mesh
     from tpufem.sets import build_boundary_sets
 
@@ -72,20 +79,62 @@ def main() -> None:
     print(f"mesh: {t10.num_nodes} tet10 nodes, {len(t10.tet10)} tets, "
           f"{dof} DOF ({mesh_s:.1f} s host)", flush=True)
 
-    solver = Tet10MGSolver(
-        DOF1M_TET10, t10, dtype=jnp.float32,
-        elem_chunk=args.elem_chunk or None,
-    )
+    if args.engine == "stencil":
+        from tpufem.fem.tet10 import tet10_root_nodes
+        from tpufem.fem.tet10_stencil import Tet10StencilT
+
+        solver = Tet10StencilT(DOF1M_TET10, dtype=jnp.float32)
+        free = np.ones((t10.num_nodes, 3), np.float64)
+        free[tet10_root_nodes(t10)] = 0.0
+        solver_free = free
+
+        def run_once():
+            bout = solver.solve(
+                np.array([p4]), bs.surf_upper_faces, pressure=args.pressure,
+                tol=args.tol, maxiter=args.maxiter, chunk_iters=args.chunk,
+                outer_f64=(args.refine == 0 and not args.f32_outer),
+                refine_steps=0 if args.f32_outer else args.refine,
+                inner_tol=args.inner_tol, progress=True,
+            )
+
+            class out:  # single-lane view of the trailing-batch result
+                u = bout.u[:, :, 0]
+                vm = bout.vm[:, 0]
+                iters = int(bout.iters)
+                rel_residual = float(np.max(bout.rel_residual))
+                converged = bool(np.all(bout.converged))
+
+            return out
+    else:
+        from tpufem.fem.tet10_mg import Tet10MGSolver
+
+        solver = Tet10MGSolver(
+            DOF1M_TET10, t10, dtype=jnp.float32,
+            elem_chunk=args.elem_chunk or None,
+        )
+        solver_free = None  # set after construction below
+
+        def run_once():
+            return solver.solve(
+                p4, bs.surf_upper_faces, pressure=args.pressure,
+                tol=args.tol, maxiter=args.maxiter, chunk_iters=args.chunk,
+                outer_f64=(args.refine == 0 and not args.f32_outer),
+                refine_steps=0 if args.f32_outer else args.refine,
+                inner_tol=args.inner_tol, progress=True,
+            )
+
+        solver_free = np.asarray(solver.free)
 
     t0 = time.perf_counter()
-    out = solver.solve(
-        p4, bs.surf_upper_faces, pressure=args.pressure,
-        tol=args.tol, maxiter=args.maxiter, chunk_iters=args.chunk,
-        outer_f64=(args.refine == 0 and not args.f32_outer),
-        refine_steps=0 if args.f32_outer else args.refine,
-        inner_tol=args.inner_tol, progress=True,
-    )
+    out = run_once()
     wall = time.perf_counter() - t0
+    cold_wall = wall
+    if args.repeat:
+        t0 = time.perf_counter()
+        out = run_once()
+        wall = time.perf_counter() - t0
+        print(f"warm rerun: {wall:.1f} s (first run incl. compile: "
+              f"{cold_wall:.1f} s)", flush=True)
 
     xprec_rel = None
     if not args.no_xprec and not args.f32_outer:
@@ -104,10 +153,10 @@ def main() -> None:
         ut6 = jnp.asarray(tet10_upper_t6(t10, bs.surf_upper_faces))
         b64 = pressure_loads_t6(nodes64, ut6, jnp.asarray(args.pressure, jnp.float64),
                                 t10.num_nodes)
-        b64 = np.asarray(b64) * np.asarray(solver.free.astype(jnp.float64))
+        b64 = np.asarray(b64) * np.asarray(solver_free, np.float64)
         xprec_rel, _ = tet10_residual_xprec(
             np.asarray(Jinv64), np.asarray(vols64), np.asarray(conn), b64,
-            out.u, np.asarray(solver.free), float(lam), float(mu),
+            out.u, np.asarray(solver_free), float(lam), float(mu),
         )
         print(f"xprec (80-bit host) TRUE rel: {xprec_rel:.3e} "
               f"({time.perf_counter() - t_x:.1f} s)", flush=True)
@@ -129,6 +178,8 @@ def main() -> None:
             "xprec_rel_residual": xprec_rel,
             "mode": ("f32" if args.f32_outer
                      else f"refine x{args.refine}" if args.refine else "f64 outer"),
+            "engine": args.engine,
+            "first_run_incl_compile_s": round(cold_wall, 3),
             "max_vm_mpa": round(float(np.max(vm)) / 1e6, 3),
             "device": jax.devices()[0].device_kind,
         },

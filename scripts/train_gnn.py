@@ -35,6 +35,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num_layers", type=int, default=4)
     ap.add_argument("--dropout", type=float, default=0.1)
     ap.add_argument("--aggregate_impl", default="segment", choices=["segment", "pallas"])
+    ap.add_argument("--clip_norm", type=float, default=1.0,
+                    help="global-norm gradient clip (0 = off); stabilizes the "
+                         "val curve at reference-scale graphs")
     args = ap.parse_args(argv)
 
     paths = get_paths(args.data_root)
@@ -51,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
         max_epochs=args.epochs,
         early_stop_patience=args.early_stop,
         seed=args.seed,
+        clip_norm=args.clip_norm,
         model=SAGEConfig(
             hidden=args.hidden,
             num_layers=args.num_layers,

@@ -50,22 +50,25 @@ def test_cli_pipeline_artifacts(tiny_dataset):
 
 
 def test_cli_batched_fem_matches_sequential(tiny_dataset):
-    """--batched --force reproduces the sequential results."""
+    """--batched --force reproduces the sequential results AND the per-case
+    artifact/report contract (reference fem.py:642-693, 695-751): every
+    batched case dir carries the GLBs and the same report stat blocks."""
     root = Path(tiny_dataset)
-    before = {
-        i: np.load(root / "data" / "raw" / "fem" / f"{i:03d}" / "surface_results.npz")[
-            "stress_vm"
-        ].copy()
-        for i in range(1, 4)
-    }
+    before = {}
+    seq_extra_keys = {}
+    for i in range(1, 4):
+        case = root / "data" / "raw" / "fem" / f"{i:03d}"
+        before[i] = np.load(case / "surface_results.npz")["stress_vm"].copy()
+        seq_extra_keys[i] = set(
+            json.loads((case / "fem_report.json").read_text())["extra"]
+        ) & {"stress_stats", "disp_stats", "color_range"}
     gf = _load("generate_fem_dataset")
     rc = gf.main(["--pressure", "1000", "--tol", "1e-8", "--maxiter", "30000",
                   "--batched", "--force", "--data_root", str(root)])
     assert rc == 0
     for i in range(1, 4):
-        after = np.load(
-            root / "data" / "raw" / "fem" / f"{i:03d}" / "surface_results.npz"
-        )["stress_vm"]
+        case = root / "data" / "raw" / "fem" / f"{i:03d}"
+        after = np.load(case / "surface_results.npz")["stress_vm"]
         scale = max(float(before[i].max()), 1.0)
         err = np.abs(after - before[i]) / scale
         # two converged f32 solves: pointwise agreement is bounded by the f32
@@ -73,6 +76,15 @@ def test_cli_batched_fem_matches_sequential(tiny_dataset):
         # bulk must agree tightly
         assert err.max() < 2e-2
         assert err.mean() < 1e-3
+        # artifact parity: result + arrow GLBs (binary glTF)
+        for glb in ("wing_result.glb", "wing_result_arrows.glb"):
+            assert (case / glb).read_bytes()[:4] == b"glTF", glb
+        # report-schema parity: batched extra carries the sequential blocks
+        rep = json.loads((case / "fem_report.json").read_text())
+        assert rep["status"] == "success"
+        for key in seq_extra_keys[i] | {"solver", "stress_stats", "disp_stats"}:
+            assert key in rep["extra"], key
+        assert rep["extra"]["batched"] is True
 
 
 def test_cli_validator(tiny_dataset):

@@ -45,6 +45,11 @@ class TrainConfig:
     plateau_factor: float = 0.5
     min_lr: float = 1e-6
     seed: int = 42
+    # global-norm gradient clipping (0 = off): at reference-scale graphs the
+    # masked MSE occasionally spikes on extreme-stress validation wings and
+    # unclipped AdamW steps destabilize the val curve (measured on the
+    # 1260-case dataset: val oscillating 0.027<->0.27)
+    clip_norm: float = 0.0
     model: SAGEConfig = field(default_factory=SAGEConfig)
 
 
@@ -77,7 +82,13 @@ class Trainer:
         self.model = GraphSAGE(cfg.model)
         # plateau scheduling is driven from the host via this mutable scale
         self._lr_scale = 1.0
-        opt = optax.inject_hyperparams(optax.adamw)(
+        def _make_tx(learning_rate, weight_decay):
+            tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+            if cfg.clip_norm > 0:
+                tx = optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
+            return tx
+
+        opt = optax.inject_hyperparams(_make_tx)(
             learning_rate=cfg.lr, weight_decay=cfg.weight_decay
         )
         self.opt = opt
