@@ -528,6 +528,28 @@ class Tet10StencilT:
         self._jit_chunk64 = jax.jit(self._chunk64, static_argnames=("tol", "maxiter"))
         self._jit_resid64 = jax.jit(self._resid64)
 
+    def _host_setup64(self, p464, press64, upper_t6):
+        """f64 system built on the HOST CPU backend, then shipped to device.
+
+        TPU f64 is double-float emulated; the elementwise operator apply is
+        accurate (~5e-15 measured vs CPU) but the GEOMETRY pipeline
+        (transcendentals/divisions in nodes_grid2 -> cell_geometry2) only
+        reaches ~7e-9 relative on TPU. kappa-amplified, that bias makes the
+        on-device "f64 system" disagree with the true discrete system by
+        ~5e-4 in residual at flagship conditioning (measured: engine 8.6e-7
+        vs 80-bit host truth 5.0e-4 on the same u). Building geometry and
+        loads in real host f64 and transferring once removes the bias; the
+        device-side apply on exact inputs stays at its ~5e-15 fidelity."""
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0):
+            geo64, bg64 = self._jit_setup64(
+                jax.device_put(np.asarray(p464, np.float64), cpu0),
+                jax.device_put(np.asarray(press64, np.float64), cpu0),
+                jax.device_put(np.asarray(upper_t6), cpu0),
+            )
+        dev = jax.devices()[0]
+        return jax.device_put(geo64, dev), jax.device_put(bg64, dev)
+
     # ------------------------------------------------------------- loads
     def _loads_grid2(self, p4, pressure, upper_t6, dtype):
         """Pressure load vector in doubled-grid form from traced params."""
@@ -779,7 +801,7 @@ class Tet10StencilT:
             press64 = jnp.asarray(pressure, f64)
             self._lam64 = jnp.asarray(lam_exact, f64)
             self._mu64 = jnp.asarray(mu_exact, f64)
-            geo64, bg64 = self._jit_setup64(p464, press64, upper_t6)
+            geo64, bg64 = self._host_setup64(p464, press64, upper_t6)
 
         if outer_f64:
             cg = self._jit_init64(
@@ -791,6 +813,24 @@ class Tet10StencilT:
                 c, tol=t_, maxiter=s,
             )
             cg, total, rel, conv = run_chunks(chunk_fn, cg, tol, maxiter)
+            # judge on a FRESH evaluation, not the CG recurrence: double-float
+            # recurrence drift on TPU reaches ~eps_dd*kappa*iters at this
+            # conditioning; restart warm from x with the honestly recomputed
+            # residual if the fresh value misses tol (same scheme as
+            # WingStencilT.solve outer64).
+            rtol = tol
+            for _ in range(3):
+                _, rel = self._jit_resid64(geo64, bg64, cg[0])
+                conv = rel <= tol
+                if bool(jnp.all(conv)) or total >= maxiter:
+                    break
+                rtol = 0.5 * rtol
+                cg = self._jit_init64(
+                    geo64, bg64, geo, Binv, lmax, smg_state, self._lam64,
+                    self._mu64, cg[0],
+                )
+                cg, t2, _, _ = run_chunks(chunk_fn, cg, rtol, maxiter - total)
+                total += t2
             x64 = cg[0]
             vm = recover(x64)
             # u stays f64: the reported residual certifies the f64 state
