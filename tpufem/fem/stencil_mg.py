@@ -416,9 +416,13 @@ class WingStencilT:
         self._jit_init = jax.jit(self._init)
         self._jit_chunk = jax.jit(self._chunk, static_argnames=("tol", "maxiter"))
         self._jit_resid64 = jax.jit(self._resid64)
-        self._jit_setup64 = jax.jit(self._setup64)
+        self._jit_finish64 = jax.jit(self._finish64)
         self._jit_init64 = jax.jit(self._init64)
         self._jit_chunk64 = jax.jit(self._chunk64, static_argnames=("tol", "maxiter"))
+        self._cpu0 = jax.devices("cpu")[0]
+        # one persistent wrapper: a fresh jit(lambda ...) per solve would
+        # recompile the host node map on every call
+        self._jit_nodes64 = jax.jit(lambda p: nodes_grid(self.res, p, jnp.float64))
 
     def _loads_grid(self, nodes, pressure, dtype):
         """Pressure load vector in grid form from welded node coords (N,3,B)."""
@@ -436,15 +440,6 @@ class WingStencilT:
         )
         b = b * bt.free[:, :, None].astype(dtype)
         return to_grid(self.res, b)
-
-    def _setup64(self, p464, press64):
-        """f64 geometry + load vector for the f64-outer CG."""
-        f64 = jnp.float64
-        X64 = nodes_grid(self.res, p464, f64)
-        geo64 = cell_geometry(self.res, X64)
-        nodes64 = from_grid(self.res, X64)
-        bg64 = self._loads_grid(nodes64, press64, f64)
-        return geo64, bg64
 
     def _ops64(self, geo64, state, lam64, mu64):
         """(A, M, dot) for the f64-outer CG: operator and state in f64
@@ -477,7 +472,7 @@ class WingStencilT:
         A, M, dot = self._ops64(geo64, state, lam64, mu64)
         return _cg_grid_run(A, M, dot, cg, tol, maxiter)
 
-    def _host_setup64(self, p464, press64):
+    def _host_setup64(self, p464, press64, device_system=True):
         """f64 system built on the HOST CPU backend, then shipped to device.
 
         TPU f64 is double-float emulated; the elementwise operator apply is
@@ -487,15 +482,49 @@ class WingStencilT:
         system" then disagrees with the true discrete system by orders more
         than the reported residual (measured on the tet10 engine: reported
         8.6e-7 vs 80-bit host truth 5.0e-4). Host-exact geometry/loads,
-        transferred once per solve, restore an honest f64 system."""
-        cpu0 = jax.devices("cpu")[0]
-        with jax.default_device(cpu0):
-            geo64, bg64 = self._jit_setup64(
-                jax.device_put(np.asarray(p464, np.float64), cpu0),
-                jax.device_put(np.asarray(press64, np.float64), cpu0),
-            )
-        dev = jax.devices()[0]
-        return jax.device_put(geo64, dev), jax.device_put(bg64, dev)
+        transferred once per solve, restore an honest f64 system.
+
+        Only the COORDINATES need host precision: the bias enters through
+        the transcendental parameter->node map (1.0e-8 on TPU, measured),
+        while cell_geometry from exact nodes is 5e-12 and the load vector's
+        error is unamplified. Shipping just the (3,B,NI,NK,NJ) node grid
+        (~7 MB at 109k DOF vs ~140 MB for the gradient tensors) keeps the
+        per-solve host cost to ~0.5 s over the tunnel.
+
+        Also returns a CPU-resident copy of the system (real IEEE f64, not
+        the device's double-float emulation): convergence is JUDGED on the
+        host, because the emulated evaluation floors at eps_dd*kappa_elem
+        (measured 1.4e-6 relative on the small tet10 mesh) and cannot
+        certify tol 1e-6 regardless of solution quality."""
+        cpu0 = self._cpu0
+        X64_h = self._jit_nodes64(jax.device_put(np.asarray(p464, np.float64), cpu0))
+        press_h = jax.device_put(np.float64(press64), cpu0)
+        geo64_h, bg64_h = self._jit_finish64(X64_h, press_h)  # CPU (committed)
+        if not device_system:  # refine path: host judges, f32 engine corrects
+            return None, None, (geo64_h, bg64_h)
+        X64 = jax.device_put(np.asarray(X64_h), jax.devices()[0])
+        geo64, bg64 = self._jit_finish64(X64, jnp.asarray(np.float64(press64)))
+        return geo64, bg64, (geo64_h, bg64_h)
+
+    def _host_resid(self, host_sys, lam64, mu64, x_np):
+        """TRUE residual of the host-resident f64 system, evaluated on the
+        CPU in real f64 (the judge; the device only solves corrections)."""
+        geo_h, bg_h = host_sys
+        cpu0 = self._cpu0
+        return self._jit_resid64(
+            geo_h, bg_h,
+            jax.device_put(np.float64(lam64), cpu0),
+            jax.device_put(np.float64(mu64), cpu0),
+            jax.device_put(np.asarray(x_np, np.float64), cpu0),
+        )
+
+    def _finish64(self, X64, press64):
+        """Device half of the f64 setup: geometry + loads from exact nodes."""
+        f64 = jnp.float64
+        geo64 = cell_geometry(self.res, X64)
+        nodes64 = from_grid(self.res, X64)
+        bg64 = self._loads_grid(nodes64, press64, f64)
+        return geo64, bg64
 
     def _resid64(self, geo64, bg64, lam64, mu64, xg64):
         """TRUE f64 residual of the host-exact f64 system (operator applied
@@ -607,7 +636,7 @@ class WingStencilT:
             p464 = jnp.asarray(params4, f64)
             press64 = jnp.asarray(pressure, f64)
             lam64, mu64 = (jnp.asarray(v, f64) for v in lame_params(material))
-            geo64, bg64 = self._host_setup64(p464, press64)
+            geo64, bg64, host_sys = self._host_setup64(p464, press64)
 
             def run64(cg, tol_, budget):
                 total = 0
@@ -623,26 +652,37 @@ class WingStencilT:
 
             cg = self._jit_init64(geo64, bg64, state, jnp.zeros_like(bg64), lam64, mu64)
             cg, total = run64(cg, tol, maxiter)
-            # judge on a FRESH evaluation, not the CG recurrence: double-float
-            # recurrence drift on TPU reaches ~eps_dd*kappa*iters ~ 1e-6 at
-            # this conditioning (measured: recurred 9.0e-7 vs true 1.7e-6).
-            # If the fresh residual misses tol, restart warm from x with the
-            # honestly recomputed residual and a tighter recurred target.
-            rtol = tol
-            for _ in range(3):
-                _, rel = self._jit_resid64(geo64, bg64, lam64, mu64, cg[0])
+            # Judge on the HOST in real f64, never on the device: the
+            # emulated-f64 evaluation floors at eps_dd*kappa_elem (measured
+            # 1.4e-6 relative on the 16x24x4 tet10 mesh) and restarting the
+            # device CG from a device-evaluated residual stalls there even
+            # when the solution is better. The host residual is exact; the
+            # device only solves scaled CORRECTION systems against it
+            # (classical iterative refinement, gain ~1/crtol per step).
+            x_np = np.asarray(cg[0])
+            prev = np.inf
+            rel = conv = None
+            for _ in range(6):
+                r_h, rel = self._host_resid(host_sys, lam64, mu64, x_np)
                 conv = rel <= tol
-                if bool(jnp.all(conv)) or total >= maxiter:
+                relmax = float(jnp.max(rel))
+                if bool(jnp.all(conv)) or total >= maxiter or relmax > 0.9 * prev:
                     break
-                rtol = 0.5 * rtol
-                cg = self._jit_init64(geo64, bg64, state, cg[0], lam64, mu64)
-                cg, t2 = run64(cg, rtol, maxiter - total)
+                prev = relmax
+                rn = np.sqrt((np.asarray(r_h) ** 2).sum(axis=(0, 2, 3, 4)))
+                safe = np.where(rn > 0, rn, 1.0)[None, :, None, None, None]
+                rb = jax.device_put(np.asarray(r_h) / safe, jax.devices()[0])
+                ccg = self._jit_init64(
+                    geo64, rb, state, jnp.zeros_like(rb), lam64, mu64
+                )
+                ccg, t2 = run64(ccg, 1e-2, maxiter - total)
                 total += t2
+                x_np = x_np + np.asarray(ccg[0]) * safe
             # u keeps the f64 state: the reported residual belongs to the f64
             # solution, and an f32 output cast alone costs ~kappa*eps_f32
             # relative residual (the xprec-measured corollary in tet10_mg) —
             # datasets must store the solution the residual certifies.
-            x64 = cg[0]
+            x64 = jax.device_put(x_np, jax.devices()[0])
             x = from_grid(self.res, x64.astype(self.dtype))
             _, s6, vm = self.bt._jit_recover(grads, vols, x, lam, mu)
             u64 = from_grid(self.res, x64) * self.bt.free[:, :, None].astype(jnp.float64)
@@ -659,25 +699,30 @@ class WingStencilT:
         press64 = jnp.asarray(pressure, f64)
         lam64, mu64 = (jnp.asarray(v, f64) for v in lame_params(material))
 
-        geo64, bg64 = self._host_setup64(p464, press64)
+        _, _, host_sys = self._host_setup64(p464, press64, device_system=False)
         xg, total, _, _ = self._run_cg(bg, state, inner_tol, maxiter, chunk_iters)
-        x64 = xg.astype(f64)
+        x_np = np.asarray(xg, np.float64)
         rel = None
         for _ in range(refine_steps):
-            r64, rel = self._jit_resid64(geo64, bg64, lam64, mu64, x64)
+            # host-evaluated TRUE residual (see outer_f64 branch): the
+            # device's emulated-f64 evaluation cannot judge tol 1e-6
+            r64, rel = self._host_resid(host_sys, lam64, mu64, x_np)
             if bool(jnp.all(rel <= tol)):
                 break
-            rnorm = jnp.sqrt((r64 * r64).sum(axis=(0, 2, 3, 4)))  # (B,)
-            safe = jnp.where(rnorm > 0, rnorm, 1.0)[None, :, None, None, None]
-            cg, it, _, _ = self._run_cg(
-                (r64 / safe).astype(self.dtype), state, inner_tol, maxiter, chunk_iters
+            rn = np.sqrt((np.asarray(r64) ** 2).sum(axis=(0, 2, 3, 4)))  # (B,)
+            safe = np.where(rn > 0, rn, 1.0)[None, :, None, None, None]
+            rb = jax.device_put(
+                (np.asarray(r64) / safe).astype(np.asarray(bg).dtype),
+                jax.devices()[0],
             )
-            x64 = x64 + cg.astype(f64) * safe
+            cg, it, _, _ = self._run_cg(rb, state, inner_tol, maxiter, chunk_iters)
+            x_np = x_np + np.asarray(cg, np.float64) * safe
             total += it
-        r64, rel = self._jit_resid64(geo64, bg64, lam64, mu64, x64)
+        _, rel = self._host_resid(host_sys, lam64, mu64, x_np)
         conv = rel <= tol
         # as in the outer_f64 branch: the residual certifies the f64 state,
         # so that is the u the caller (and any dataset) must receive
+        x64 = jax.device_put(x_np, jax.devices()[0])
         x = from_grid(self.res, x64.astype(self.dtype))
         _, s6, vm = self.bt._jit_recover(grads, vols, x, lam, mu)
         u64 = from_grid(self.res, x64) * self.bt.free[:, :, None].astype(jnp.float64)

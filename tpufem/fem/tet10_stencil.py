@@ -523,12 +523,16 @@ class Tet10StencilT:
         self._jit_setup = jax.jit(self._setup)
         self._jit_init = jax.jit(self._init)
         self._jit_chunk = jax.jit(self._chunk, static_argnames=("tol", "maxiter"))
-        self._jit_setup64 = jax.jit(self._setup64)
+        self._jit_finish64 = jax.jit(self._finish64)
         self._jit_init64 = jax.jit(self._init64)
         self._jit_chunk64 = jax.jit(self._chunk64, static_argnames=("tol", "maxiter"))
         self._jit_resid64 = jax.jit(self._resid64)
+        self._cpu0 = jax.devices("cpu")[0]
+        # one persistent wrapper: a fresh jit(lambda ...) per solve would
+        # recompile the host node map on every call
+        self._jit_nodes64 = jax.jit(lambda p: nodes_grid2(self.res, p, jnp.float64))
 
-    def _host_setup64(self, p464, press64, upper_t6):
+    def _host_setup64(self, p464, press64, upper_t6, device_system=True):
         """f64 system built on the HOST CPU backend, then shipped to device.
 
         TPU f64 is double-float emulated; the elementwise operator apply is
@@ -539,16 +543,57 @@ class Tet10StencilT:
         ~5e-4 in residual at flagship conditioning (measured: engine 8.6e-7
         vs 80-bit host truth 5.0e-4 on the same u). Building geometry and
         loads in real host f64 and transferring once removes the bias; the
-        device-side apply on exact inputs stays at its ~5e-15 fidelity."""
-        cpu0 = jax.devices("cpu")[0]
-        with jax.default_device(cpu0):
-            geo64, bg64 = self._jit_setup64(
-                jax.device_put(np.asarray(p464, np.float64), cpu0),
-                jax.device_put(np.asarray(press64, np.float64), cpu0),
-                jax.device_put(np.asarray(upper_t6), cpu0),
-            )
+        device-side apply on exact inputs stays at its ~5e-15 fidelity.
+
+        Only the COORDINATES need host precision: the bias enters through
+        the transcendental parameter->node map (1.0e-8 on TPU, measured),
+        while cell_geometry2 from exact nodes is ~5e-12 and the load
+        vector's error is unamplified. Shipping just the doubled node grid
+        (3,B,NI2,NK2,NJ2) instead of the gradient tensors cuts the
+        per-solve host->device transfer ~20x.
+
+        Also returns a CPU-resident copy of the system (real IEEE f64):
+        convergence is JUDGED on the host, because the device's double-float
+        emulated evaluation floors at eps_dd*kappa_elem (measured 1.4e-6
+        relative on the 16x24x4 tet10 mesh) and cannot certify tol 1e-6
+        no matter how good the solution is."""
+        cpu0 = self._cpu0
+        X64_h = self._jit_nodes64(jax.device_put(np.asarray(p464, np.float64), cpu0))
+        ut6_h = jax.device_put(np.asarray(upper_t6), cpu0)
+        geo64_h, bg64_h = self._jit_finish64(
+            X64_h, jax.device_put(np.float64(press64), cpu0), ut6_h
+        )  # CPU (committed inputs)
+        if not device_system:  # refine path: host judges, f32 engine corrects
+            return None, None, (geo64_h, bg64_h)
         dev = jax.devices()[0]
-        return jax.device_put(geo64, dev), jax.device_put(bg64, dev)
+        X64 = jax.device_put(np.asarray(X64_h), dev)
+        geo64, bg64 = self._jit_finish64(
+            X64,
+            jnp.asarray(np.float64(press64)),
+            jax.device_put(np.asarray(upper_t6), dev),
+        )
+        return geo64, bg64, (geo64_h, bg64_h)
+
+    def _host_resid(self, host_sys, x_np):
+        """TRUE residual of the host-resident f64 system, evaluated on the
+        CPU in real f64 (the judge; the device only solves corrections)."""
+        geo_h, bg_h = host_sys
+        return self._jit_resid64(
+            geo_h, bg_h, jax.device_put(np.asarray(x_np, np.float64), self._cpu0)
+        )
+
+    def _finish64(self, X64, press64, upper_t6):
+        """Device half of the f64 setup: geometry + loads from exact nodes."""
+        from tpufem.fem.tet10 import pressure_loads_t6
+
+        geo64 = cell_geometry2(self.res, X64)
+        n10 = from_grid2(self.res, X64)  # (N10,3,B)
+        f = jax.vmap(
+            lambda nb: pressure_loads_t6(nb, upper_t6, press64, self.N10),
+            in_axes=2, out_axes=2,
+        )(n10)
+        bg64 = to_grid2(self.res, f) * self.free2
+        return geo64, bg64
 
     # ------------------------------------------------------------- loads
     def _loads_grid2(self, p4, pressure, upper_t6, dtype):
@@ -656,13 +701,6 @@ class Tet10StencilT:
         return _cg_grid_run(A, M, dot, cg, tol, maxiter)
 
     # ----------------------------------------------------------- f64 path
-    def _setup64(self, p464, press64, upper_t6):
-        f64 = jnp.float64
-        X64 = nodes_grid2(self.res, p464, f64)
-        geo64 = cell_geometry2(self.res, X64)
-        bg64 = self._loads_grid2(p464, press64, upper_t6, f64)
-        return geo64, bg64
-
     def _ops64(self, geo64, geo, Binv, lmax, smg_state, lam64, mu64):
         f64 = jnp.float64
         free64 = self.free2.astype(f64)
@@ -801,7 +839,9 @@ class Tet10StencilT:
             press64 = jnp.asarray(pressure, f64)
             self._lam64 = jnp.asarray(lam_exact, f64)
             self._mu64 = jnp.asarray(mu_exact, f64)
-            geo64, bg64 = self._host_setup64(p464, press64, upper_t6)
+            geo64, bg64, host_sys = self._host_setup64(
+                p464, press64, upper_t6, device_system=outer_f64
+            )
 
         if outer_f64:
             cg = self._jit_init64(
@@ -813,25 +853,36 @@ class Tet10StencilT:
                 c, tol=t_, maxiter=s,
             )
             cg, total, rel, conv = run_chunks(chunk_fn, cg, tol, maxiter)
-            # judge on a FRESH evaluation, not the CG recurrence: double-float
-            # recurrence drift on TPU reaches ~eps_dd*kappa*iters at this
-            # conditioning; restart warm from x with the honestly recomputed
-            # residual if the fresh value misses tol (same scheme as
-            # WingStencilT.solve outer64).
-            rtol = tol
-            for _ in range(3):
-                _, rel = self._jit_resid64(geo64, bg64, cg[0])
+            # Judge on the HOST in real f64, never on the device: the
+            # emulated-f64 evaluation floors at eps_dd*kappa_elem (measured
+            # 1.4e-6 relative on the 16x24x4 tet10 mesh — above tol 1e-6 —
+            # and restarts from a device-evaluated residual stall exactly
+            # there). The host residual is exact; the device only solves
+            # scaled CORRECTION systems (classical iterative refinement,
+            # same scheme as WingStencilT.solve outer64).
+            x_np = np.asarray(cg[0])
+            prev = np.inf
+            for _ in range(6):
+                r_h, rel = self._host_resid(host_sys, x_np)
                 conv = rel <= tol
-                if bool(jnp.all(conv)) or total >= maxiter:
+                relmax = float(jnp.max(rel))
+                if progress:
+                    print(f"  [tet10-stencil] host judge: rel {relmax:.3e}",
+                          flush=True)
+                if bool(jnp.all(conv)) or total >= maxiter or relmax > 0.9 * prev:
                     break
-                rtol = 0.5 * rtol
-                cg = self._jit_init64(
-                    geo64, bg64, geo, Binv, lmax, smg_state, self._lam64,
-                    self._mu64, cg[0],
+                prev = relmax
+                rn = np.sqrt((np.asarray(r_h) ** 2).sum(axis=(0, 2, 3, 4)))
+                safe = np.where(rn > 0, rn, 1.0)[None, :, None, None, None]
+                rb = jax.device_put(np.asarray(r_h) / safe, jax.devices()[0])
+                ccg = self._jit_init64(
+                    geo64, rb, geo, Binv, lmax, smg_state, self._lam64,
+                    self._mu64, jnp.zeros_like(rb),
                 )
-                cg, t2, _, _ = run_chunks(chunk_fn, cg, rtol, maxiter - total)
+                ccg, t2, _, _ = run_chunks(chunk_fn, ccg, 1e-2, maxiter - total)
                 total += t2
-            x64 = cg[0]
+                x_np = x_np + np.asarray(ccg[0]) * safe
+            x64 = jnp.asarray(x_np)
             vm = recover(x64)
             # u stays f64: the reported residual certifies the f64 state
             u = np.asarray(from_grid2(self.res, x64))
@@ -853,11 +904,14 @@ class Tet10StencilT:
         # mixed-precision refinement: f32 solve to inner_tol, then rounds of
         # (true f64 residual -> f32 correction), judged on the f64 residual
         cg, total, _, _ = run_chunks(chunk_fn, cg, inner_tol, maxiter)
-        x64 = cg[0].astype(jnp.float64)
+        x_np = np.asarray(cg[0], np.float64)
         rel = None
         prev = np.inf
         for _ in range(refine_steps):
-            r64, rel = self._jit_resid64(geo64, bg64, x64)
+            # host-evaluated TRUE residual (see outer_f64 branch): the
+            # device's emulated-f64 evaluation cannot judge below its
+            # eps_dd*kappa_elem floor
+            r_h, rel = self._host_resid(host_sys, x_np)
             relmax = float(jnp.max(rel))
             if progress:
                 print(f"  [tet10-stencil] refine: TRUE f64 rel {relmax:.3e}",
@@ -867,16 +921,20 @@ class Tet10StencilT:
             if relmax > 0.5 * prev:
                 break  # f32 correction-operator floor reached
             prev = relmax
-            rnorm = jnp.sqrt((r64 * r64).sum(axis=(0, 2, 3, 4)))
-            safe = jnp.where(rnorm > 0, rnorm, 1.0)[None, :, None, None, None]
+            rn = np.sqrt((np.asarray(r_h) ** 2).sum(axis=(0, 2, 3, 4)))
+            safe = np.where(rn > 0, rn, 1.0)[None, :, None, None, None]
+            rb = jax.device_put(
+                (np.asarray(r_h) / safe).astype(np.asarray(bg).dtype),
+                jax.devices()[0],
+            )
             cg2 = self._jit_init(
-                geo, Binv, (r64 / safe).astype(self.dtype), lmax, smg_state,
-                lam, mu, jnp.zeros_like(bg),
+                geo, Binv, rb, lmax, smg_state, lam, mu, jnp.zeros_like(bg)
             )
             cg2, k, _, _ = run_chunks(chunk_fn, cg2, inner_tol, maxiter - total)
             total += k
-            x64 = x64 + cg2[0].astype(jnp.float64) * safe
-        _, rel = self._jit_resid64(geo64, bg64, x64)
+            x_np = x_np + np.asarray(cg2[0], np.float64) * safe
+        _, rel = self._host_resid(host_sys, x_np)
+        x64 = jnp.asarray(x_np)
         vm = recover(x64)
         u = np.asarray(from_grid2(self.res, x64))
         rel = np.asarray(rel)
