@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--clip_norm", type=float, default=1.0,
                     help="global-norm gradient clip (0 = off); stabilizes the "
                          "val curve at reference-scale graphs")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="EMA decay for eval/checkpoint params (0 = off); "
+                         "0.999 flattens the val curve at reference scale")
     args = ap.parse_args(argv)
 
     paths = get_paths(args.data_root)
@@ -55,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         early_stop_patience=args.early_stop,
         seed=args.seed,
         clip_norm=args.clip_norm,
+        ema_decay=args.ema,
         model=SAGEConfig(
             hidden=args.hidden,
             num_layers=args.num_layers,

@@ -162,6 +162,34 @@ def test_trainer_overfits_tiny_dataset(tmp_path):
     assert losses[-1] < losses[0] / 10
 
 
+def test_trainer_ema_checkpoints_averaged_params(tmp_path):
+    """With ema_decay>0 the best checkpoint holds the EMA iterate (differs
+    from the raw params) and training still converges on a tiny overfit."""
+    raw = [
+        build_graph(tiny_surface(seed=s), tiny_faces(seed=s), PARAMS) for s in range(2)
+    ]
+    n_max = max(g.num_nodes for g in raw)
+    e_max = max(g.num_edges for g in raw)
+    graphs = [pad_graph(g, n_max, e_max) for g in raw]
+    cfg = TrainConfig(
+        lr=3e-3,
+        batch_size=2,
+        max_epochs=60,
+        early_stop_patience=60,
+        ema_decay=0.9,
+        model=SAGEConfig(hidden=32, encoder_hidden=16, decoder_hidden=16, num_layers=2),
+    )
+    tr = Trainer(cfg)
+    summary = tr.fit(graphs, graphs, tmp_path, verbose=False)
+    losses = [r["train_loss"] for r in summary["log"]]
+    assert losses[-1] < losses[0] / 10
+    # the checkpointed (EMA) params evaluate close to the logged val loss,
+    # i.e. model selection really used the averaged iterate
+    params, _ = Trainer.load_checkpoint(tmp_path / "best_model.msgpack", graphs[0])
+    ev = tr.evaluate(params, graphs)
+    assert ev["loss"] <= summary["best_val_loss"] * 1.5 + 1e-9
+
+
 def test_checkpoint_roundtrip(tmp_path, graph):
     cfg = TrainConfig(
         model=SAGEConfig(hidden=32, encoder_hidden=16, decoder_hidden=16, num_layers=2)
