@@ -42,6 +42,12 @@ def main() -> None:
                          "f32-correction floor at this conditioning is ~3.3e-6, "
                          "ABOVE tol 1e-6 (321 iters, not converged) — kept "
                          "only for comparison runs")
+    ap.add_argument("--no_warm", action="store_true",
+                    help="outer64 only: skip the f32 warm start (cold f64 CG)")
+    ap.add_argument("--smooth_degree", type=int, default=None,
+                    help="override StencilMG Chebyshev degree (default 2)")
+    ap.add_argument("--smooth_alpha", type=float, default=None,
+                    help="override StencilMG Chebyshev lmin/lmax ratio (default 0.25)")
     args = ap.parse_args()
 
     from tpufem.fem.stencil_mg import WingStencilT
@@ -54,7 +60,12 @@ def main() -> None:
     maxiter = 2000
     chunk = 250
 
-    st = WingStencilT(DOF100K, dtype=jnp.float32)
+    mg_kwargs = {}
+    if args.smooth_degree is not None:
+        mg_kwargs["smooth_degree"] = args.smooth_degree
+    if args.smooth_alpha is not None:
+        mg_kwargs["smooth_alpha"] = args.smooth_alpha
+    st = WingStencilT(DOF100K, dtype=jnp.float32, mg_kwargs=mg_kwargs or None)
     rng = np.random.default_rng(42)
 
     def sample(n):
@@ -74,7 +85,7 @@ def main() -> None:
     warm_p4 = sample(batch)
     p4 = sample(batch)
     kw = (
-        dict(outer_f64=True)
+        dict(outer_f64=True, warm_f32=not args.no_warm)
         if args.mode == "outer64"
         else dict(refine_steps=4, inner_tol=1e-3)
     )
@@ -112,6 +123,8 @@ def main() -> None:
                              "refinement, TRUE f64 residual)"
                     ),
                     "device": str(jax.devices()[0]),
+                    "mg": mg_kwargs or {"smooth_degree": 2, "smooth_alpha": 0.25},
+                    "warm_f32": args.mode == "outer64" and not args.no_warm,
                 },
             }
         )

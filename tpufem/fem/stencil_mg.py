@@ -597,6 +597,7 @@ class WingStencilT:
         refine_steps: int = 0,
         inner_tol: float = 1e-3,
         outer_f64: bool = False,
+        warm_f32: bool = True,
     ):
         """Batched MG-PCG solve; refine_steps > 0 adds mixed-precision
         iterative refinement: the f32 CG floor on PRD-corner wings sits around
@@ -650,8 +651,24 @@ class WingStencilT:
                         break
                 return cg, total
 
-            cg = self._jit_init64(geo64, bg64, state, jnp.zeros_like(bg64), lam64, mu64)
-            cg, total = run64(cg, tol, maxiter)
+            # Warm start from the f32 engine: the f32 MG-PCG recurrence
+            # reaches rel ~1e-6 (true residual ~3e-6 at 100k-DOF thin-wing
+            # conditioning) in the same iteration count the f64 CG would
+            # spend, but each iteration costs an f32 operator apply instead
+            # of the emulated-f64 one (double-double ~10-20x the VPU work on
+            # TPU). The f64 CG then only closes the f32 floor -> tol gap —
+            # tens of iterations instead of the full count.
+            total = 0
+            x0 = jnp.zeros_like(bg64)
+            if warm_f32:
+                xg32, it32, _, _ = self._run_cg(
+                    bg, state, tol, min(maxiter, 600), chunk_iters
+                )
+                total += it32
+                x0 = xg32.astype(f64)
+            cg = self._jit_init64(geo64, bg64, state, x0, lam64, mu64)
+            cg, t64 = run64(cg, tol, max(maxiter - total, 50))
+            total += t64
             # Judge on the HOST in real f64, never on the device: the
             # emulated-f64 evaluation floors at eps_dd*kappa_elem (measured
             # 1.4e-6 relative on the 16x24x4 tet10 mesh) and restarting the
