@@ -27,10 +27,20 @@ import json
 import time
 from pathlib import Path
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+# axon's sitecustomize force-registers the TPU platform and ignores
+# JAX_PLATFORMS; honor an explicit cpu request through jax.config (same
+# pattern as __graft_entry__.py)
+if "cpu" in os.environ.get("JAX_PLATFORMS", "").split(","):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # noqa: BLE001
+        pass
 jax.config.update("jax_enable_x64", True)
 
 
