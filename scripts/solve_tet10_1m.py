@@ -63,6 +63,10 @@ def main() -> None:
     ap.add_argument("--repeat", action="store_true",
                     help="solve twice and report the warm (compile-cached) "
                          "wall as the headline; first-run wall in detail")
+    ap.add_argument("--smooth_degree", type=int, default=2,
+                    help="Chebyshev smoother degree (stencil engine)")
+    ap.add_argument("--smooth_alpha", type=float, default=0.25,
+                    help="Chebyshev lmin/lmax ratio (stencil engine)")
     args = ap.parse_args()
 
     from tpufem.fem.tet10 import tet10_from_tet4
@@ -83,7 +87,10 @@ def main() -> None:
         from tpufem.fem.tet10 import tet10_root_nodes
         from tpufem.fem.tet10_stencil import Tet10StencilT
 
-        solver = Tet10StencilT(DOF1M_TET10, dtype=jnp.float32)
+        solver = Tet10StencilT(
+            DOF1M_TET10, dtype=jnp.float32,
+            smooth_degree=args.smooth_degree, smooth_alpha=args.smooth_alpha,
+        )
         free = np.ones((t10.num_nodes, 3), np.float64)
         free[tet10_root_nodes(t10)] = 0.0
         solver_free = free
