@@ -1,0 +1,145 @@
+"""Modal analysis CLI: natural frequencies + mode-shape GLBs for one wing.
+
+Beyond-parity capability (the reference pipeline is static-only): computes
+the smallest natural frequencies of the root-clamped wing with the subspace
+iteration eigensolver (tpufem.fem.modal) — block MG-PCG solves on the
+trailing batch axis, host Rayleigh-Ritz — and writes a JSON record plus an
+exaggerated-deflection, |u|-colored GLB per mode for the dashboard.
+
+Example:
+    python scripts/modal_analysis.py --span 1.2 --chord 0.35 --sweep 10 \
+        --thickness 0.10 --n_modes 6 --glb --out results/modal_demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)  # f64 operator (emulated on TPU)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--span", type=float, default=1.2)
+    ap.add_argument("--chord", type=float, default=0.35)
+    ap.add_argument("--sweep", type=float, default=10.0)
+    ap.add_argument("--thickness", type=float, default=0.10)
+    ap.add_argument("--n_chord", type=int, default=32)
+    ap.add_argument("--n_span", type=int, default=40)
+    ap.add_argument("--n_thick", type=int, default=4)
+    ap.add_argument("--n_modes", type=int, default=6)
+    ap.add_argument("--block", type=int, default=None)
+    ap.add_argument("--inner_tol", type=float, default=1e-8)
+    ap.add_argument("--inner_maxiter", type=int, default=400)
+    ap.add_argument("--chunk_iters", type=int, default=200)
+    ap.add_argument("--tol", type=float, default=1e-9,
+                    help="eigenvalue relative-change stop")
+    ap.add_argument("--max_sweeps", type=int, default=40)
+    ap.add_argument("--smooth_degree", type=int, default=2)
+    ap.add_argument("--smooth_alpha", type=float, default=0.25)
+    ap.add_argument("--frf", action="store_true",
+                    help="write the tip frequency-response function (pressure "
+                         "load, modal superposition, 2%% damping) to frf.json")
+    ap.add_argument("--glb", action="store_true", help="write per-mode GLBs")
+    ap.add_argument("--glb_scale", type=float, default=None,
+                    help="mode deflection exaggeration (default: 15%% of span)")
+    ap.add_argument("--out", default="results/modal")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (JAX_PLATFORMS env is "
+                         "ignored on the axon platform)")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpufem.fem.modal import WingModal
+    from tpufem.mesher import WingMeshResolution
+
+    res = WingMeshResolution(args.n_chord, args.n_span, args.n_thick, 0.006, "le")
+    p4 = (args.span, args.chord, args.sweep, args.thickness)
+    wm = WingModal(
+        res, p4,
+        inner_tol=args.inner_tol, inner_maxiter=args.inner_maxiter,
+        chunk_iters=args.chunk_iters,
+        smooth_degree=args.smooth_degree, smooth_alpha=args.smooth_alpha,
+    )
+    t0 = time.perf_counter()
+    out = wm.solve(
+        n_modes=args.n_modes, block=args.block, tol=args.tol,
+        max_sweeps=args.max_sweeps,
+    )
+    wall = time.perf_counter() - t0
+
+    outdir = Path(args.out)
+    outdir.mkdir(parents=True, exist_ok=True)
+    record = {
+        "params": {"span_m": args.span, "chord_m": args.chord,
+                   "sweep_deg": args.sweep, "thickness_ratio": args.thickness},
+        "resolution": [args.n_chord, args.n_span, args.n_thick],
+        "num_nodes": wm.num_nodes,
+        "n_dof": 3 * wm.num_nodes,
+        "freqs_hz": out.freqs_hz.tolist(),
+        "eig_residual": out.eig_residual.tolist(),
+        "sweeps": out.sweeps,
+        "converged": out.converged,
+        "wall_s": round(wall, 3),
+    }
+    (outdir / "modal_report.json").write_text(json.dumps(record, indent=2))
+
+    if args.frf:
+        from tpufem.fem.modal import harmonic_response
+        from tpufem.fem.refsolve import pressure_loads_np
+        from tpufem.sets import build_boundary_sets
+
+        mesh = wm.mesh
+        sets = build_boundary_sets(mesh)
+        force = pressure_loads_np(
+            mesh.nodes.astype(np.float64),
+            mesh.surf_faces[sets.surf_upper_faces], 5e3,
+        )
+        fmax = 1.2 * out.freqs_hz[-1]
+        fgrid = np.linspace(1.0, fmax, 400)
+        u = harmonic_response(out, wm.mass, force, fgrid, zeta=0.02)
+        y = mesh.nodes[:, 1]
+        tip = y > y.min() + 0.95 * (y.max() - y.min())
+        amp = np.abs(u[:, tip, 2]).mean(axis=1)
+        (outdir / "frf.json").write_text(json.dumps({
+            "freqs_hz": fgrid.tolist(),
+            "tip_uz_amplitude_m": amp.tolist(),
+            "zeta": 0.02,
+            "pressure_pa": 5e3,
+        }))
+
+    if args.glb:
+        from tpufem.viz.colormaps import normalize_range, viridis
+        from tpufem.viz.glb import GLBMesh, write_glb
+
+        mesh = wm.mesh
+        scale0 = args.glb_scale
+        for i in range(args.n_modes):
+            phi = out.modes[:, :, i]
+            amp = np.linalg.norm(phi, axis=1)
+            peak = float(amp.max()) or 1.0
+            scale = (0.15 * args.span / peak) if scale0 is None else scale0
+            verts = (mesh.nodes + scale * phi).astype(np.float32)
+            rgb = viridis(normalize_range(amp, 0.0, peak))
+            rgba = np.concatenate([rgb, np.ones((len(rgb), 1))], axis=1)
+            write_glb(
+                outdir / f"mode_{i + 1:02d}_{out.freqs_hz[i]:.1f}hz.glb",
+                GLBMesh(vertices=verts, faces=mesh.surf_faces, colors=rgba,
+                        name=f"mode{i + 1}"),
+            )
+
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,7 @@ class Material:
     E: float = 69e9  # Young's modulus [Pa]
     nu: float = 0.33  # Poisson ratio
     yield_mpa: float = 276.0  # AL6061-T6 yield, used by the app's safety factor
+    rho: float = 2700.0  # density [kg/m^3] (AL6061), used by modal analysis
 
 
 def lame_params(mat: Material) -> tuple[float, float]:

@@ -1,0 +1,286 @@
+"""Modal analysis: natural frequencies / mode shapes of the clamped wing.
+
+Solves the generalized eigenproblem K phi = lambda M phi (lambda = omega^2)
+for the smallest n_modes of the root-clamped wing — the vibration spectrum a
+UAV-wing designer needs for flutter/resonance margins. The reference
+pipeline (reference src/deep_fem_uav_wing/fem.py) is static-only; this is a
+beyond-parity capability of the TPU rebuild.
+
+TPU-native design:
+
+- **Bathe subspace iteration, block-on-the-batch-axis.** Each sweep's block
+  solve K Y = M X runs as ONE trailing-batch MG-PCG dispatch: the q subspace
+  vectors ride the same trailing batch axis the production solver batches
+  *cases* over (tpufem.fem.stencil_mg), so the whole block reuses the grid
+  stencil operator, the Chebyshev/line V-cycle preconditioner, and the
+  dispatch-chunked CG loop unchanged. No shift-invert factorization exists
+  or is needed — the MG-PCG *is* the (iterative) inverse.
+- **Host Rayleigh-Ritz.** The q x q reduced pencil (Kbar, Mbar) is formed
+  from mesh-space inner products and solved with scipy.linalg.eigh in f64 on
+  the host — O(q^3) work that would waste a TPU dispatch. Because the sweep
+  already computed Y = K^{-1} M X, the reduced stiffness is Kbar = Y^T (M X)
+  with NO extra operator application.
+- **Lumped (diagonal) mass.** Row-sum lumping of the consistent tet4 mass
+  (rho*V/4 per corner) keeps M diagonal, so the pencil needs no mass solves
+  and M-orthonormalization is a cheap reweighting. Same discretization as
+  the correctness anchor (tpufem.fem.refsolve), so scipy.sparse eigsh on the
+  assembled (K, M) validates frequencies to inner-solve accuracy.
+
+The operator is applied in f64 (emulated on TPU) with the f32 V-cycle as
+preconditioner — the same mixed-precision posture as the production
+outer_f64 solve path; eigenvalues converge to the inner-solve tolerance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.material import Material, lame_params
+from tpufem.fem.stencil import (
+    cell_geometry,
+    from_grid,
+    nodes_grid,
+    strain_apply,
+    to_grid,
+)
+from tpufem.fem.stencil_mg import WingStencilT, _cg_grid_init, _cg_grid_run
+from tpufem.mesher import WingMeshResolution, structured_wing_mesh
+from tpufem.sets import build_boundary_sets
+
+
+def lumped_mass(nodes: np.ndarray, tets: np.ndarray, rho: float) -> np.ndarray:
+    """Row-sum lumped tet4 mass per node (N,), kg. Exact total mass."""
+    x = nodes[tets]
+    e = x[:, 1:] - x[:, :1]
+    vols = np.abs(np.linalg.det(e)) / 6.0
+    m = np.zeros(len(nodes), np.float64)
+    share = (rho / 4.0) * vols
+    for a in range(4):
+        np.add.at(m, tets[:, a], share)
+    return m
+
+
+@dataclass
+class ModalResult:
+    freqs_hz: np.ndarray  # (k,) natural frequencies
+    lam: np.ndarray  # (k,) eigenvalues omega^2
+    modes: np.ndarray  # (N,3,k) M-orthonormal mode shapes (root rows zero)
+    sweeps: int
+    eig_residual: np.ndarray  # (k,) ||K phi - lam M phi|| / ||K phi||
+    converged: bool
+
+
+def harmonic_response(
+    result: ModalResult,
+    mass: np.ndarray,
+    force: np.ndarray,
+    freqs_hz: np.ndarray,
+    zeta: float = 0.02,
+) -> np.ndarray:
+    """Steady-state displacement amplitude by modal superposition.
+
+    u(w) = sum_i phi_i * f_i / (w_i^2 - w^2 + 2 j zeta w_i w), f_i = phi_i^T F
+    (modes are M-orthonormal, so modal masses are 1). Exact for any force
+    lying in the span of the retained modes; truncation error otherwise.
+
+    result: a ModalResult; mass: (N,) lumped nodal mass (for completeness
+    checks only — projection needs no M); force: (N,3) real load amplitude;
+    freqs_hz: (F,) excitation frequencies; zeta: modal damping ratio.
+    Returns complex modal displacement field u (F, N, 3).
+    """
+    phi = result.modes  # (N,3,k)
+    f_modal = np.einsum("nik,ni->k", phi, force.astype(np.float64))
+    w = 2.0 * np.pi * np.asarray(freqs_hz, np.float64)  # (F,)
+    wi = np.sqrt(np.maximum(result.lam, 0.0))  # (k,)
+    denom = (wi[None, :] ** 2 - w[:, None] ** 2) + 2j * zeta * wi[None, :] * w[:, None]
+    q = f_modal[None, :] / denom  # (F,k)
+    return np.einsum("fk,nik->fni", q, phi)
+
+
+class WingModal:
+    """Subspace-iteration eigensolver on the grid stencil operator.
+
+    One wing instance (p4) at a structured resolution; the block dimension is
+    the trailing batch axis. All reduced algebra is host-side f64.
+    """
+
+    def __init__(
+        self,
+        res: WingMeshResolution,
+        p4,
+        material: Material | None = None,
+        inner_tol: float = 1e-8,
+        inner_maxiter: int = 400,
+        chunk_iters: int = 200,
+        smooth_degree: int = 2,
+        smooth_alpha: float = 0.25,
+    ):
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "WingModal needs jax_enable_x64 (f64 operator; emulated on "
+                "TPU) — enable it before constructing the solver"
+            )
+        self.res = res
+        self.p4 = np.asarray(p4, np.float64).reshape(4)
+        self.material = material or Material()
+        self.inner_tol = float(inner_tol)
+        self.inner_maxiter = int(inner_maxiter)
+        self.chunk_iters = int(chunk_iters)
+
+        # host-side discretization anchors: welded mesh, clamp set, mass
+        mesh = structured_wing_mesh(*self.p4, res)
+        sets = build_boundary_sets(mesh)
+        self.mesh = mesh
+        self.num_nodes = len(mesh.nodes)
+        self.mass = lumped_mass(
+            mesh.nodes.astype(np.float64), mesh.tets, self.material.rho
+        )
+        self.free_rows = np.ones(self.num_nodes, bool)
+        self.free_rows[sets.nroot_nodes] = False
+
+        lam, mu = lame_params(self.material)
+        self._lam64 = jnp.asarray(lam, jnp.float64)
+        self._mu64 = jnp.asarray(mu, jnp.float64)
+        self.st = WingStencilT(
+            res, dtype=jnp.float32,
+            mg_kwargs={"smooth_degree": smooth_degree, "smooth_alpha": smooth_alpha},
+        )
+        self._mstate = None
+        self._geo64 = None
+        self._block = None
+
+    # ---- device-side pieces -------------------------------------------------
+    def _prepare(self, q: int) -> None:
+        """Build the q-lane MG state + f64 geometry (tiled single case)."""
+        if self._block == q:
+            return
+        st = self.st
+        p32 = jnp.asarray(np.tile(self.p4[None], (q, 1)), jnp.float32)
+        lam32 = jnp.asarray(float(self._lam64), jnp.float32)
+        mu32 = jnp.asarray(float(self._mu64), jnp.float32)
+        _, _, _, _, state = st._jit_setup(
+            p32, jnp.asarray(0.0, jnp.float32), lam32, mu32
+        )
+        state = st.smg.finalize(
+            state, np.tile(self.p4[None], (q, 1)), float(self._lam64),
+            float(self._mu64),
+        )
+        self._mstate = state
+        p64 = jnp.asarray(np.tile(self.p4[None], (q, 1)), jnp.float64)
+        X = nodes_grid(self.res, p64, jnp.float64)
+        self._geo64 = cell_geometry(self.res, X)
+        self._free64 = st.smg.free_masks[0].astype(jnp.float64)
+        self._block = q
+
+        def A(x):
+            return strain_apply(
+                self.res, self._geo64, x, self._free64, self._lam64, self._mu64
+            )
+
+        def Mpre(r):
+            return self.st.smg.apply(self._mstate, r.astype(jnp.float32)).astype(
+                jnp.float64
+            )
+
+        def dot(u_, v_):
+            return (u_ * v_).sum(axis=(0, 2, 3, 4))
+
+        self._A = jax.jit(A)
+
+        @jax.jit
+        def init(bg):
+            return _cg_grid_init(A, Mpre, dot, bg, jnp.zeros_like(bg))
+
+        @jax.jit
+        def run(cg, maxiter):
+            return _cg_grid_run(A, Mpre, dot, cg, self.inner_tol, maxiter)
+
+        self._jit_init = init
+        self._jit_run = run
+
+    def _block_solve(self, B_np: np.ndarray) -> tuple[np.ndarray, int]:
+        """Y = K^{-1} B for a mesh-space block B (N,3,q); chunk-bounded PCG
+        (axon worker kills long dispatches; Krylov state carries across
+        chunks so the loop equals one uninterrupted PCG)."""
+        bg = to_grid(self.res, jnp.asarray(B_np))
+        cg = self._jit_init(bg)
+        total = 0
+        while total < self.inner_maxiter:
+            step = min(self.chunk_iters, self.inner_maxiter - total)
+            cg, k, rel, conv = self._jit_run(cg, step)
+            total += int(k)
+            if bool(jnp.all(conv)) or int(k) < step:
+                break
+        out = np.array(from_grid(self.res, cg[0]), np.float64)  # writable copy
+        return out, total
+
+    # ---- the eigensolve -----------------------------------------------------
+    def solve(
+        self,
+        n_modes: int = 6,
+        block: int | None = None,
+        tol: float = 1e-9,
+        max_sweeps: int = 40,
+        seed: int = 0,
+    ) -> ModalResult:
+        k = int(n_modes)
+        q = block or min(2 * k, k + 8)
+        q = max(q, k + 2)
+        self._prepare(q)
+
+        m3 = self.mass[:, None] * self.free_rows[:, None]  # (N,1) masked mass
+        rng = np.random.default_rng(seed)
+        X = rng.standard_normal((self.num_nodes, 3, q))
+        X[~self.free_rows] = 0.0
+
+        lam_prev = None
+        sweeps = 0
+        converged = False
+        total_inner = 0
+        for sweeps in range(1, max_sweeps + 1):
+            B = m3[:, :, None] * X  # M X  (N,3,q)
+            Y, it = self._block_solve(B)
+            total_inner += it
+            Y[~self.free_rows] = 0.0
+            # reduced pencil: Kbar = Y^T K Y = Y^T (M X); Mbar = Y^T M Y
+            Kbar = np.einsum("niq,nip->qp", Y, B)
+            MY = m3[:, :, None] * Y
+            Mbar = np.einsum("niq,nip->qp", Y, MY)
+            Kbar = 0.5 * (Kbar + Kbar.T)
+            Mbar = 0.5 * (Mbar + Mbar.T)
+            import scipy.linalg as sla
+
+            lam_r, Q = sla.eigh(Kbar, Mbar)
+            X = np.einsum("niq,qp->nip", Y, Q)
+            lam_k = lam_r[:k]
+            if lam_prev is not None:
+                rel = np.abs(lam_k - lam_prev) / np.maximum(np.abs(lam_k), 1e-300)
+                if float(rel.max()) < tol:
+                    converged = True
+                    break
+            lam_prev = lam_k.copy()
+
+        lam_k = lam_r[:k]
+        modes = X[:, :, :k]
+        # honesty check: true eigen-residual via one operator application
+        Kphi = np.asarray(
+            from_grid(self.res, self._A(to_grid(self.res, jnp.asarray(X)))),
+            np.float64,
+        )[:, :, :k]
+        Mphi = m3[:, :, None] * modes
+        num = np.sqrt(((Kphi - lam_k[None, None, :] * Mphi) ** 2).sum(axis=(0, 1)))
+        den = np.sqrt((Kphi**2).sum(axis=(0, 1)))
+        eig_res = num / np.maximum(den, 1e-300)
+        freqs = np.sqrt(np.maximum(lam_k, 0.0)) / (2.0 * np.pi)
+        return ModalResult(
+            freqs_hz=freqs,
+            lam=lam_k,
+            modes=modes,
+            sweeps=sweeps,
+            eig_residual=eig_res,
+            converged=converged,
+        )
