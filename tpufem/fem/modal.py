@@ -101,12 +101,12 @@ def harmonic_response(
     return np.einsum("fk,nik->fni", q, phi)
 
 
-class WingModal:
-    """Subspace-iteration eigensolver on the grid stencil operator.
-
-    One wing instance (p4) at a structured resolution; the block dimension is
-    the trailing batch axis. All reduced algebra is host-side f64.
-    """
+class GridBlockSolver:
+    """Shared machinery for block eigen/solve algorithms on the grid stencil
+    operator: one wing instance (p4), a q-lane tiled MG state, and a
+    chunk-bounded block MG-PCG where the q block vectors ride the trailing
+    batch axis. Subclassed by WingModal (vibration) and WingBuckling
+    (tpufem.fem.buckling)."""
 
     def __init__(
         self,
@@ -121,8 +121,8 @@ class WingModal:
     ):
         if not jax.config.jax_enable_x64:
             raise RuntimeError(
-                "WingModal needs jax_enable_x64 (f64 operator; emulated on "
-                "TPU) — enable it before constructing the solver"
+                f"{type(self).__name__} needs jax_enable_x64 (f64 operator; "
+                "emulated on TPU) — enable it before constructing the solver"
             )
         self.res = res
         self.p4 = np.asarray(p4, np.float64).reshape(4)
@@ -131,14 +131,12 @@ class WingModal:
         self.inner_maxiter = int(inner_maxiter)
         self.chunk_iters = int(chunk_iters)
 
-        # host-side discretization anchors: welded mesh, clamp set, mass
+        # host-side discretization anchors: welded mesh + clamp set
         mesh = structured_wing_mesh(*self.p4, res)
         sets = build_boundary_sets(mesh)
         self.mesh = mesh
+        self.sets = sets
         self.num_nodes = len(mesh.nodes)
-        self.mass = lumped_mass(
-            mesh.nodes.astype(np.float64), mesh.tets, self.material.rho
-        )
         self.free_rows = np.ones(self.num_nodes, bool)
         self.free_rows[sets.nroot_nodes] = False
 
@@ -217,6 +215,20 @@ class WingModal:
                 break
         out = np.array(from_grid(self.res, cg[0]), np.float64)  # writable copy
         return out, total
+
+
+class WingModal(GridBlockSolver):
+    """Subspace-iteration vibration eigensolver on the grid stencil operator.
+
+    One wing instance (p4) at a structured resolution; the block dimension is
+    the trailing batch axis. All reduced algebra is host-side f64.
+    """
+
+    def __init__(self, res: WingMeshResolution, p4, **kw):
+        super().__init__(res, p4, **kw)
+        self.mass = lumped_mass(
+            self.mesh.nodes.astype(np.float64), self.mesh.tets, self.material.rho
+        )
 
     # ---- the eigensolve -----------------------------------------------------
     def solve(
