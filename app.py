@@ -19,6 +19,7 @@ from pathlib import Path
 
 from tpufem.app_core import (
     VIEW_MODES,
+    dynamics_entries,
     case_glbs,
     ai_status,
     engineering_report,
@@ -36,7 +37,7 @@ except ImportError:
     HAS_GRADIO = False
 
 
-def build_gradio_app(paths):
+def build_gradio_app(paths, dynamics_dir=None):
     cases = list_cases(paths)
 
     def on_change(case_id, view):
@@ -63,6 +64,24 @@ def build_gradio_app(paths):
         hist = gr.Image(label="stress histogram (FEM vs AI)")
         status = gr.Markdown()
         gr.Markdown("## Model summary\n" + model_summary(paths))
+
+        # Dynamics section (modal / buckling results under results/): no
+        # reference counterpart — the reference app shows static results only
+        dyn = dynamics_entries(dynamics_dir or Path("results"))
+        if dyn:
+            gr.Markdown("## Dynamics (modal / buckling)")
+            gr.Markdown("  \n\n".join(f"### {e['label']}\n{e['summary']}"
+                                      for e in dyn))
+            mode_glbs = {f"{e['label']}/{g.name}": g for e in dyn
+                         for g in e["glbs"]}
+            if mode_glbs:
+                names = list(mode_glbs)
+                mode_dd = gr.Dropdown(names, value=names[0], label="mode shape")
+                mode_view = gr.Model3D(label="mode (exaggerated deflection)")
+                mode_dd.change(lambda n: str(mode_glbs[n]), [mode_dd],
+                               [mode_view])
+                demo.load(lambda: str(mode_glbs[names[0]]), None, [mode_view])
+
         for comp in (dd, view):
             comp.change(on_change, [dd, view], [left, right, report, hist, status])
         if cases:
@@ -181,6 +200,8 @@ def main() -> int:
     ap.add_argument("--data_root", default=None)
     ap.add_argument("--static_out", default=None,
                     help="write a static HTML dashboard here instead of serving")
+    ap.add_argument("--dynamics_dir", default="results",
+                    help="directory scanned for modal/buckling outputs")
     ap.add_argument("--port", type=int, default=7860)
     args = ap.parse_args()
     paths = get_paths(args.data_root)
@@ -191,7 +212,7 @@ def main() -> int:
         print(f"static dashboard written: {idx}")
         return 0
 
-    demo = build_gradio_app(paths)
+    demo = build_gradio_app(paths, Path(args.dynamics_dir))
     demo.launch(server_port=args.port)
     return 0
 

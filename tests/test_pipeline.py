@@ -313,3 +313,28 @@ def test_fem_auto_routes_structured_mesh_through_stencil_engine(tmp_path):
     solver = f.extra["solver"]
     assert solver["converged"] and solver["rel_residual"] <= 1e-6
     assert solver["iters"] < 600  # MG iteration counts, not two-level's 1000s
+
+
+def test_dynamics_entries(tmp_path):
+    """Dashboard Dynamics section: scans results dirs for modal/buckling
+    reports and mode GLBs (no reference counterpart — static-only app)."""
+    import json
+
+    from tpufem.app_core import dynamics_entries
+
+    d = tmp_path / "modal_demo"
+    d.mkdir()
+    (d / "modal_report.json").write_text(json.dumps(
+        {"freqs_hz": [25.9, 154.4], "n_dof": 19803, "sweeps": 7}))
+    (d / "mode_01_25.9hz.glb").write_bytes(b"glTF")
+    b = tmp_path / "buckling_demo"
+    b.mkdir()
+    (b / "buckling_report.json").write_text(json.dumps(
+        {"load_factor": 9543.1, "pressure_pa": 5e3, "n_dof": 825}))
+
+    entries = dynamics_entries(tmp_path)
+    assert [e["label"] for e in entries] == ["buckling_demo", "modal_demo"]
+    modal = entries[1]
+    assert "25.9" in modal["summary"] and len(modal["glbs"]) == 1
+    assert "9543" in entries[0]["summary"]
+    assert dynamics_entries(tmp_path / "missing") == []

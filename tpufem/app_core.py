@@ -217,3 +217,41 @@ def model_summary(paths: Paths) -> str:
             f"rel {100*test.get('rel_mae_masked', 0):.2f}%"
         )
     return "  \n".join(lines)
+
+
+def dynamics_entries(results_dir: Path) -> list[dict]:
+    """Scan a results directory for modal/buckling analysis outputs.
+
+    Each subdirectory holding a modal_report.json or buckling_report.json
+    becomes one entry: {"label", "summary" (markdown), "glbs" (list[Path])}.
+    Feeds the dashboard's Dynamics section — a capability with no reference
+    counterpart (the reference app shows static results only)."""
+    entries: list[dict] = []
+    if not results_dir.exists():
+        return entries
+    for d in sorted(p for p in results_dir.iterdir() if p.is_dir()):
+        modal_p = d / "modal_report.json"
+        buck_p = d / "buckling_report.json"
+        if not modal_p.exists() and not buck_p.exists():
+            continue
+        lines: list[str] = []
+        if modal_p.exists():
+            rep = json.loads(modal_p.read_text())
+            freqs = ", ".join(f"{f:.1f}" for f in rep.get("freqs_hz", []))
+            lines.append(
+                f"**Modal** ({rep.get('n_dof', '?')} DOF, "
+                f"{rep.get('sweeps', '?')} sweeps): f = [{freqs}] Hz"
+            )
+            if (d / "frf.json").exists():
+                lines.append("tip FRF sweep available (frf.json)")
+        if buck_p.exists():
+            rep = json.loads(buck_p.read_text())
+            lf = rep.get("load_factor")
+            lines.append(
+                f"**Buckling** ({rep.get('n_dof', '?')} DOF): critical load "
+                f"factor {lf:.0f}x the {rep.get('pressure_pa', 0)/1e3:.0f} kPa "
+                f"reference load" if lf else "**Buckling**: no positive factor"
+            )
+        glbs = sorted(d.glob("mode_*.glb")) + sorted(d.glob("buckling_mode_*.glb"))
+        entries.append({"label": d.name, "summary": "  \n".join(lines), "glbs": glbs})
+    return entries
