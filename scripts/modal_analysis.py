@@ -46,6 +46,10 @@ def main(argv=None) -> None:
     ap.add_argument("--max_sweeps", type=int, default=40)
     ap.add_argument("--smooth_degree", type=int, default=2)
     ap.add_argument("--smooth_alpha", type=float, default=0.25)
+    ap.add_argument("--gust", action="store_true",
+                    help="write the transient tip response to a 1-cosine "
+                         "gust (duration 1.5/f1, modal superposition) to "
+                         "gust_response.json")
     ap.add_argument("--frf", action="store_true",
                     help="write the tip frequency-response function (pressure "
                          "load, modal superposition, 2%% damping) to frf.json")
@@ -94,26 +98,48 @@ def main(argv=None) -> None:
     }
     (outdir / "modal_report.json").write_text(json.dumps(record, indent=2))
 
-    if args.frf:
-        from tpufem.fem.modal import harmonic_response
+    def _pressure_force():
         from tpufem.fem.refsolve import pressure_loads_np
-        from tpufem.sets import build_boundary_sets
 
         mesh = wm.mesh
-        sets = build_boundary_sets(mesh)
         force = pressure_loads_np(
             mesh.nodes.astype(np.float64),
-            mesh.surf_faces[sets.surf_upper_faces], 5e3,
+            mesh.surf_faces[wm.sets.surf_upper_faces], 5e3,
         )
+        y = mesh.nodes[:, 1]
+        tip = y > y.min() + 0.95 * (y.max() - y.min())
+        return force, tip
+
+    if args.frf:
+        from tpufem.fem.modal import harmonic_response
+
+        force, tip = _pressure_force()
         fmax = 1.2 * out.freqs_hz[-1]
         fgrid = np.linspace(1.0, fmax, 400)
         u = harmonic_response(out, wm.mass, force, fgrid, zeta=0.02)
-        y = mesh.nodes[:, 1]
-        tip = y > y.min() + 0.95 * (y.max() - y.min())
         amp = np.abs(u[:, tip, 2]).mean(axis=1)
         (outdir / "frf.json").write_text(json.dumps({
             "freqs_hz": fgrid.tolist(),
             "tip_uz_amplitude_m": amp.tolist(),
+            "zeta": 0.02,
+            "pressure_pa": 5e3,
+        }))
+
+    if args.gust:
+        from tpufem.fem.modal import transient_response
+
+        force, tip = _pressure_force()
+        f1 = out.freqs_hz[0]
+        t_g = 1.5 / f1  # gust duration: 1.5 fundamental periods
+        t = np.linspace(0.0, 6.0 / f1, 1200)
+        g = np.where(t < t_g, 0.5 * (1 - np.cos(2 * np.pi * t / t_g)), 0.0)
+        u = transient_response(out, force, g, t, zeta=0.02)
+        tip_uz = u[:, tip, 2].mean(axis=1)
+        (outdir / "gust_response.json").write_text(json.dumps({
+            "t_s": t.tolist(),
+            "gust_factor": g.tolist(),
+            "tip_uz_m": tip_uz.tolist(),
+            "gust_duration_s": t_g,
             "zeta": 0.02,
             "pressure_pa": 5e3,
         }))

@@ -102,6 +102,39 @@ def test_harmonic_response_matches_direct_solve(scipy_reference):
     assert np.abs(u_res).max() > 10 * np.abs(u).max()
 
 
+def test_transient_response_analytic_step(scipy_reference):
+    """Piecewise-exact transient integrator vs the closed-form underdamped
+    step response: force = M phi1 (only mode 1 excited), g(t) = unit step."""
+    from tpufem.fem.modal import transient_response
+
+    mesh, free, m, w_ref, V = scipy_reference
+    wm = WingModal(RES, PARAMS)
+    out = wm.solve(n_modes=3)
+
+    phi1 = out.modes[:, :, 0]
+    force = (np.repeat(m, 3).reshape(-1, 3)) * phi1  # M phi1
+    w1 = np.sqrt(out.lam[0])
+    zeta = 0.05
+    t = np.linspace(0.0, 10.0 / w1, 400)
+    u = transient_response(out, force, np.ones_like(t), t, zeta=zeta)
+
+    # analytic modal step response (modal force = 1, modal mass = 1)
+    wd = w1 * np.sqrt(1 - zeta**2)
+    q_ref = (1.0 / w1**2) * (
+        1.0
+        - np.exp(-zeta * w1 * t)
+        * (np.cos(wd * t) + zeta * w1 / wd * np.sin(wd * t))
+    )
+    # project the computed field back onto mode 1 (M-inner product)
+    q_num = np.einsum("tni,ni->t", u, (np.repeat(m, 3).reshape(-1, 3)) * phi1)
+    np.testing.assert_allclose(q_num, q_ref, rtol=1e-9, atol=1e-12 / w1**2)
+    # other modes stay unexcited
+    q2 = np.einsum(
+        "tni,ni->t", u, (np.repeat(m, 3).reshape(-1, 3)) * out.modes[:, :, 1]
+    )
+    assert np.abs(q2).max() < 1e-8 * np.abs(q_num).max()
+
+
 def test_first_mode_is_spanwise_bending(scipy_reference):
     """Physics: the fundamental mode of a clamped thin wing is first bending —
     dominantly z-motion, amplitude monotone root band -> tip band."""

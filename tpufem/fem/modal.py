@@ -101,6 +101,58 @@ def harmonic_response(
     return np.einsum("fk,nik->fni", q, phi)
 
 
+def transient_response(
+    result: ModalResult,
+    force: np.ndarray,
+    f_time: np.ndarray,
+    t: np.ndarray,
+    zeta: float = 0.02,
+) -> np.ndarray:
+    """Transient displacement by piecewise-exact modal superposition.
+
+    Integrates each modal SDOF q_i'' + 2 zeta w_i q_i' + w_i^2 q_i = f_i g(t)
+    (f_i = phi_i^T F; modes are M-orthonormal) with the exact solution for
+    piecewise-LINEAR forcing on each step — unconditionally stable and exact
+    for the sampled forcing, so the step size is a sampling choice, not a
+    stability constraint. Zero initial conditions.
+
+    force: (N,3) spatial load pattern; f_time: (T,) scalar forcing factor
+    sampled at t; t: (T,) strictly increasing times from 0. Returns u (T,N,3).
+    """
+    phi = result.modes  # (N,3,k)
+    k = phi.shape[2]
+    f_modal = np.einsum("nik,ni->k", phi, force.astype(np.float64))
+    w = np.sqrt(np.maximum(result.lam, 0.0))
+    wd = w * np.sqrt(max(1.0 - zeta**2, 1e-300))
+    q = np.zeros((len(t), k))
+    qi = np.zeros(k)
+    vi = np.zeros(k)
+    for n in range(len(t) - 1):
+        h = float(t[n + 1] - t[n])
+        g0 = float(f_time[n])
+        g1 = float(f_time[n + 1])
+        # exact underdamped step for q'' + 2 z w q' + w^2 q = f*(a + b*tau)
+        a = f_modal * g0
+        b = f_modal * (g1 - g0) / h
+        w2 = np.maximum(w**2, 1e-300)
+        # particular solution: qp(tau) = A + B*tau
+        B = b / w2
+        A = (a - 2.0 * zeta * w * B) / w2
+        # homogeneous part matches initial conditions at tau=0
+        c1 = qi - A
+        c2 = (vi + zeta * w * c1 - B) / np.maximum(wd, 1e-300)
+        e = np.exp(-zeta * w * h)
+        cwd, swd = np.cos(wd * h), np.sin(wd * h)
+        qi = e * (c1 * cwd + c2 * swd) + A + B * h
+        vi = (
+            e * ((-zeta * w) * (c1 * cwd + c2 * swd)
+                 + wd * (-c1 * swd + c2 * cwd))
+            + B
+        )
+        q[n + 1] = qi
+    return np.einsum("tk,nik->tni", q, phi)
+
+
 class GridBlockSolver:
     """Shared machinery for block eigen/solve algorithms on the grid stencil
     operator: one wing instance (p4), a q-lane tiled MG state, and a
