@@ -37,6 +37,9 @@ def main(argv=None) -> None:
     ap.add_argument("--n_span", type=int, default=40)
     ap.add_argument("--n_thick", type=int, default=4)
     ap.add_argument("--n_modes", type=int, default=6)
+    ap.add_argument("--element", choices=("tet4", "tet10"), default="tet4",
+                    help="element family: tet4 (grid stencil MG) or tet10 "
+                         "(doubled-grid p-MG, the flagship family)")
     ap.add_argument("--block", type=int, default=None)
     ap.add_argument("--inner_tol", type=float, default=1e-8)
     ap.add_argument("--inner_maxiter", type=int, default=400)
@@ -64,12 +67,13 @@ def main(argv=None) -> None:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from tpufem.fem.modal import WingModal
+    from tpufem.fem.modal import WingModal, WingModal10
     from tpufem.mesher import WingMeshResolution
 
     res = WingMeshResolution(args.n_chord, args.n_span, args.n_thick, 0.006, "le")
     p4 = (args.span, args.chord, args.sweep, args.thickness)
-    wm = WingModal(
+    cls = WingModal10 if args.element == "tet10" else WingModal
+    wm = cls(
         res, p4,
         inner_tol=args.inner_tol, inner_maxiter=args.inner_maxiter,
         chunk_iters=args.chunk_iters,
@@ -88,6 +92,7 @@ def main(argv=None) -> None:
         "params": {"span_m": args.span, "chord_m": args.chord,
                    "sweep_deg": args.sweep, "thickness_ratio": args.thickness},
         "resolution": [args.n_chord, args.n_span, args.n_thick],
+        "element": args.element,
         "num_nodes": wm.num_nodes,
         "n_dof": 3 * wm.num_nodes,
         "freqs_hz": out.freqs_hz.tolist(),
@@ -99,14 +104,25 @@ def main(argv=None) -> None:
     (outdir / "modal_report.json").write_text(json.dumps(record, indent=2))
 
     def _pressure_force():
-        from tpufem.fem.refsolve import pressure_loads_np
+        if args.element == "tet10":
+            import jax.numpy as jnp
 
-        mesh = wm.mesh
-        force = pressure_loads_np(
-            mesh.nodes.astype(np.float64),
-            mesh.surf_faces[wm.sets.surf_upper_faces], 5e3,
-        )
-        y = mesh.nodes[:, 1]
+            from tpufem.fem.tet10 import pressure_loads_t6, tet10_upper_t6
+
+            upper_t6 = jnp.asarray(
+                tet10_upper_t6(wm.t10, wm.sets.surf_upper_faces))
+            force = np.asarray(pressure_loads_t6(
+                jnp.asarray(wm.nodes10), upper_t6, 5e3, wm.num_nodes))
+            y = wm.nodes10[:, 1]
+        else:
+            from tpufem.fem.refsolve import pressure_loads_np
+
+            mesh = wm.mesh
+            force = pressure_loads_np(
+                mesh.nodes.astype(np.float64),
+                mesh.surf_faces[wm.sets.surf_upper_faces], 5e3,
+            )
+            y = mesh.nodes[:, 1]
         tip = y > y.min() + 0.95 * (y.max() - y.min())
         return force, tip
 
@@ -148,19 +164,24 @@ def main(argv=None) -> None:
         from tpufem.viz.colormaps import normalize_range, viridis
         from tpufem.viz.glb import GLBMesh, write_glb
 
-        mesh = wm.mesh
+        if args.element == "tet10":
+            base_nodes = wm.nodes10
+            faces = wm.t10.surf_t6[:, :3]  # corner triangles of the T6 faces
+        else:
+            base_nodes = wm.mesh.nodes
+            faces = wm.mesh.surf_faces
         scale0 = args.glb_scale
         for i in range(args.n_modes):
             phi = out.modes[:, :, i]
             amp = np.linalg.norm(phi, axis=1)
             peak = float(amp.max()) or 1.0
             scale = (0.15 * args.span / peak) if scale0 is None else scale0
-            verts = (mesh.nodes + scale * phi).astype(np.float32)
+            verts = (base_nodes + scale * phi).astype(np.float32)
             rgb = viridis(normalize_range(amp, 0.0, peak))
             rgba = np.concatenate([rgb, np.ones((len(rgb), 1))], axis=1)
             write_glb(
                 outdir / f"mode_{i + 1:02d}_{out.freqs_hz[i]:.1f}hz.glb",
-                GLBMesh(vertices=verts, faces=mesh.surf_faces, colors=rgba,
+                GLBMesh(vertices=verts, faces=faces, colors=rgba,
                         name=f"mode{i + 1}"),
             )
 

@@ -156,3 +156,62 @@ def test_first_mode_is_spanwise_bending(scipy_reference):
     # first natural frequency is positive and far below the second group
     assert out.freqs_hz[0] > 0
     assert out.freqs_hz[1] / out.freqs_hz[0] > 1.5
+
+
+def test_assemble_k10_matches_jax_operator():
+    """The independent quadrature tet10 assembly == the JAX gather operator
+    to machine precision (straight edges: degree-2 integrand, 4-pt rule
+    exact) — the tet10 anchor the tet4 path has in refsolve.assemble_K."""
+    import jax.numpy as jnp
+
+    from tpufem.fem.material import lame_params
+    from tpufem.fem.refsolve import assemble_K10, lumped_mass10
+    from tpufem.fem.tet10 import tet10_force, tet10_from_tet4, tet10_setup
+
+    mesh = structured_wing_mesh(*PARAMS, WingMeshResolution(6, 8, 2, 0.006, "le"))
+    t10 = tet10_from_tet4(mesh)
+    n10 = np.asarray(t10.nodes10(mesh.nodes.astype(np.float64)))
+    mat = Material()
+    lam, mu = lame_params(mat)
+
+    K = assemble_K10(n10, t10.tet10, mat)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((t10.num_nodes, 3))
+    y_np = (K @ u.reshape(-1)).reshape(-1, 3)
+    Jinv, vols = tet10_setup(jnp.asarray(n10), jnp.asarray(t10.tet10))
+    y_jax = np.asarray(
+        tet10_force(Jinv, vols, jnp.asarray(t10.tet10), jnp.asarray(u),
+                    lam, mu, t10.num_nodes)
+    )
+    assert np.abs(y_np - y_jax).max() / np.abs(y_jax).max() < 1e-13
+
+    # HRZ lumped mass: positive, exact total mass
+    m = lumped_mass10(n10, t10.tet10, mat.rho)
+    x4 = n10[t10.tet10[:, :4]]
+    vol = np.abs(np.linalg.det(x4[:, 1:] - x4[:, :1])).sum() / 6.0
+    assert m.min() > 0
+    np.testing.assert_allclose(m.sum(), mat.rho * vol, rtol=1e-12)
+
+
+def test_modal10_matches_scipy_eigsh():
+    """tet10 subspace iteration == scipy shift-invert on the assembled
+    quadratic pencil (independent assembly, HRZ mass)."""
+    import scipy.sparse as ssp
+
+    from tpufem.fem.modal import WingModal10
+    from tpufem.fem.refsolve import assemble_K10
+
+    mat = Material()
+    wm = WingModal10(RES, PARAMS, material=mat)
+    K = assemble_K10(wm.nodes10, wm.t10.tet10, mat)
+    free = np.repeat(wm.free_rows, 3)
+    w, _ = spla.eigsh(
+        K[free][:, free], k=4, M=ssp.diags(np.repeat(wm.mass, 3)[free]),
+        sigma=0, which="LM",
+    )
+    f_ref = np.sqrt(w) / (2 * np.pi)
+
+    out = wm.solve(n_modes=4)
+    assert out.converged, out.sweeps
+    np.testing.assert_allclose(out.freqs_hz, f_ref, rtol=1e-7)
+    assert np.all(out.eig_residual[:3] < 1e-4)

@@ -269,6 +269,61 @@ class GridBlockSolver:
         return out, total
 
 
+def _subspace_smallest(
+    solver, k: int, q: int, tol: float, max_sweeps: int, seed: int
+) -> ModalResult:
+    """Bathe subspace iteration for the smallest eigenpairs of (K, M) with
+    diagonal M. `solver` provides num_nodes, free_rows, mass, _block_solve
+    (K^{-1} on a mesh-space block) and _apply_K (for the final honesty
+    residual). Shared by the tet4 and tet10 engines."""
+    import scipy.linalg as sla
+
+    m3 = solver.mass[:, None] * solver.free_rows[:, None]  # (N,1) masked mass
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((solver.num_nodes, 3, q))
+    X[~solver.free_rows] = 0.0
+
+    lam_prev = None
+    sweeps = 0
+    converged = False
+    for sweeps in range(1, max_sweeps + 1):
+        B = m3[:, :, None] * X  # M X  (N,3,q)
+        Y, _ = solver._block_solve(B)
+        Y[~solver.free_rows] = 0.0
+        # reduced pencil: Kbar = Y^T K Y = Y^T (M X); Mbar = Y^T M Y
+        Kbar = np.einsum("niq,nip->qp", Y, B)
+        Mbar = np.einsum("niq,nip->qp", Y, m3[:, :, None] * Y)
+        Kbar = 0.5 * (Kbar + Kbar.T)
+        Mbar = 0.5 * (Mbar + Mbar.T)
+        lam_r, Q = sla.eigh(Kbar, Mbar)
+        X = np.einsum("niq,qp->nip", Y, Q)
+        lam_k = lam_r[:k]
+        if lam_prev is not None:
+            rel = np.abs(lam_k - lam_prev) / np.maximum(np.abs(lam_k), 1e-300)
+            if float(rel.max()) < tol:
+                converged = True
+                break
+        lam_prev = lam_k.copy()
+
+    lam_k = lam_r[:k]
+    modes = X[:, :, :k]
+    # honesty check: true eigen-residual via one operator application
+    Kphi = solver._apply_K(X)[:, :, :k]
+    Mphi = m3[:, :, None] * modes
+    num = np.sqrt(((Kphi - lam_k[None, None, :] * Mphi) ** 2).sum(axis=(0, 1)))
+    den = np.sqrt((Kphi**2).sum(axis=(0, 1)))
+    eig_res = num / np.maximum(den, 1e-300)
+    freqs = np.sqrt(np.maximum(lam_k, 0.0)) / (2.0 * np.pi)
+    return ModalResult(
+        freqs_hz=freqs,
+        lam=lam_k,
+        modes=modes,
+        sweeps=sweeps,
+        eig_residual=eig_res,
+        converged=converged,
+    )
+
+
 class WingModal(GridBlockSolver):
     """Subspace-iteration vibration eigensolver on the grid stencil operator.
 
@@ -280,6 +335,12 @@ class WingModal(GridBlockSolver):
         super().__init__(res, p4, **kw)
         self.mass = lumped_mass(
             self.mesh.nodes.astype(np.float64), self.mesh.tets, self.material.rho
+        )
+
+    def _apply_K(self, X_np: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            from_grid(self.res, self._A(to_grid(self.res, jnp.asarray(X_np)))),
+            np.float64,
         )
 
     # ---- the eigensolve -----------------------------------------------------
@@ -295,56 +356,134 @@ class WingModal(GridBlockSolver):
         q = block or min(2 * k, k + 8)
         q = max(q, k + 2)
         self._prepare(q)
+        return _subspace_smallest(self, k, q, tol, max_sweeps, seed)
 
-        m3 = self.mass[:, None] * self.free_rows[:, None]  # (N,1) masked mass
-        rng = np.random.default_rng(seed)
-        X = rng.standard_normal((self.num_nodes, 3, q))
-        X[~self.free_rows] = 0.0
 
-        lam_prev = None
-        sweeps = 0
-        converged = False
-        total_inner = 0
-        for sweeps in range(1, max_sweeps + 1):
-            B = m3[:, :, None] * X  # M X  (N,3,q)
-            Y, it = self._block_solve(B)
-            total_inner += it
-            Y[~self.free_rows] = 0.0
-            # reduced pencil: Kbar = Y^T K Y = Y^T (M X); Mbar = Y^T M Y
-            Kbar = np.einsum("niq,nip->qp", Y, B)
-            MY = m3[:, :, None] * Y
-            Mbar = np.einsum("niq,nip->qp", Y, MY)
-            Kbar = 0.5 * (Kbar + Kbar.T)
-            Mbar = 0.5 * (Mbar + Mbar.T)
-            import scipy.linalg as sla
+class WingModal10:
+    """tet10 (quadratic) modal analysis on the doubled-grid stencil engine.
 
-            lam_r, Q = sla.eigh(Kbar, Mbar)
-            X = np.einsum("niq,qp->nip", Y, Q)
-            lam_k = lam_r[:k]
-            if lam_prev is not None:
-                rel = np.abs(lam_k - lam_prev) / np.maximum(np.abs(lam_k), 1e-300)
-                if float(rel.max()) < tol:
-                    converged = True
-                    break
-            lam_prev = lam_k.copy()
+    Same algorithm as WingModal — subspace vectors on the trailing batch
+    axis, one chunk-bounded p-MG-PCG dispatch per sweep, host Rayleigh-Ritz —
+    with the flagship quadratic element family: the f64 operator runs on the
+    exact host-built geometry (tet10_stencil._host_setup64) and the mass is
+    HRZ-lumped (tpufem.fem.refsolve.lumped_mass10; row-sum lumping of the
+    consistent tet10 mass is non-positive at corners)."""
 
-        lam_k = lam_r[:k]
-        modes = X[:, :, :k]
-        # honesty check: true eigen-residual via one operator application
-        Kphi = np.asarray(
-            from_grid(self.res, self._A(to_grid(self.res, jnp.asarray(X)))),
-            np.float64,
-        )[:, :, :k]
-        Mphi = m3[:, :, None] * modes
-        num = np.sqrt(((Kphi - lam_k[None, None, :] * Mphi) ** 2).sum(axis=(0, 1)))
-        den = np.sqrt((Kphi**2).sum(axis=(0, 1)))
-        eig_res = num / np.maximum(den, 1e-300)
-        freqs = np.sqrt(np.maximum(lam_k, 0.0)) / (2.0 * np.pi)
-        return ModalResult(
-            freqs_hz=freqs,
-            lam=lam_k,
-            modes=modes,
-            sweeps=sweeps,
-            eig_residual=eig_res,
-            converged=converged,
+    def __init__(
+        self,
+        res: WingMeshResolution,
+        p4,
+        material: Material | None = None,
+        inner_tol: float = 1e-8,
+        inner_maxiter: int = 400,
+        chunk_iters: int = 200,
+        smooth_degree: int = 2,
+        smooth_alpha: float = 0.25,
+    ):
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "WingModal10 needs jax_enable_x64 (f64 operator; emulated on "
+                "TPU) — enable it before constructing the solver"
+            )
+        from tpufem.fem.refsolve import lumped_mass10
+        from tpufem.fem.tet10 import tet10_root_nodes
+        from tpufem.fem.tet10_stencil import Tet10StencilT
+
+        self.res = res
+        self.p4 = np.asarray(p4, np.float64).reshape(4)
+        self.material = material or Material()
+        self.inner_tol = float(inner_tol)
+        self.inner_maxiter = int(inner_maxiter)
+        self.chunk_iters = int(chunk_iters)
+
+        mesh = structured_wing_mesh(*self.p4, res)
+        sets = build_boundary_sets(mesh)
+        self.mesh = mesh
+        self.sets = sets
+        self.st = Tet10StencilT(
+            res, dtype=jnp.float32,
+            smooth_degree=smooth_degree, smooth_alpha=smooth_alpha,
         )
+        self.t10 = self.st.t10
+        self.num_nodes = self.t10.num_nodes
+        n10 = np.asarray(self.t10.nodes10(mesh.nodes.astype(np.float64)))
+        self.nodes10 = n10
+        self.mass = lumped_mass10(n10, self.t10.tet10, self.material.rho)
+        self.free_rows = np.ones(self.num_nodes, bool)
+        self.free_rows[tet10_root_nodes(self.t10)] = False
+
+        lam, mu = lame_params(self.material)
+        self._lam64 = jnp.asarray(lam, jnp.float64)
+        self._mu64 = jnp.asarray(mu, jnp.float64)
+        self._block = None
+
+    def _prepare(self, q: int) -> None:
+        if self._block == q:
+            return
+        from tpufem.fem.tet10 import tet10_upper_t6
+
+        st = self.st
+        p4q = np.tile(self.p4[None], (q, 1))
+        p32 = jnp.asarray(p4q, jnp.float32)
+        lam32 = jnp.asarray(float(self._lam64), jnp.float32)
+        mu32 = jnp.asarray(float(self._mu64), jnp.float32)
+        upper_t6 = jnp.asarray(
+            tet10_upper_t6(self.t10, self.sets.surf_upper_faces)
+        )
+        geo, Binv, _bg, lmax, smg_state = st._jit_setup(
+            p32, jnp.asarray(0.0, jnp.float32), upper_t6, lam32, mu32
+        )
+        smg_state = st.finalize(smg_state, p32, lam32, mu32)
+        geo64, _, _ = st._host_setup64(
+            jnp.asarray(p4q, jnp.float64), 0.0, upper_t6, device_system=True
+        )
+        self._state = (geo, Binv, lmax, smg_state, geo64)
+        self._block = q
+
+    def _block_solve(self, B_np: np.ndarray) -> tuple[np.ndarray, int]:
+        """Y = K^{-1} B for a mesh-space tet10 block (N10,3,q)."""
+        from tpufem.fem.tet10_stencil import from_grid2, to_grid2
+
+        st = self.st
+        geo, Binv, lmax, smg_state, geo64 = self._state
+        bg = to_grid2(self.res, jnp.asarray(B_np)) * st.free2
+        cg = st._jit_init64(
+            geo64, bg, geo, Binv, lmax, smg_state, self._lam64, self._mu64,
+            jnp.zeros_like(bg),
+        )
+        total = 0
+        while total < self.inner_maxiter:
+            step = min(self.chunk_iters, self.inner_maxiter - total)
+            cg, kk, rel, conv = st._jit_chunk64(
+                geo64, geo, Binv, lmax, smg_state, self._lam64, self._mu64,
+                cg, tol=self.inner_tol, maxiter=step,
+            )
+            total += int(kk)
+            if bool(jnp.all(conv)) or int(kk) < step:
+                break
+        return np.array(from_grid2(self.res, cg[0]), np.float64), total
+
+    def _apply_K(self, X_np: np.ndarray) -> np.ndarray:
+        from tpufem.fem.tet10_stencil import from_grid2, strain_apply10, to_grid2
+
+        geo64 = self._state[4]
+        xg = to_grid2(self.res, jnp.asarray(X_np))
+        yg = strain_apply10(
+            self.res, geo64, xg, self.st.free2.astype(jnp.float64),
+            self._lam64, self._mu64,
+        )
+        return np.asarray(from_grid2(self.res, yg), np.float64)
+
+    def solve(
+        self,
+        n_modes: int = 6,
+        block: int | None = None,
+        tol: float = 1e-9,
+        max_sweeps: int = 40,
+        seed: int = 0,
+    ) -> ModalResult:
+        k = int(n_modes)
+        q = block or min(2 * k, k + 8)
+        q = max(q, k + 2)
+        self._prepare(q)
+        return _subspace_smallest(self, k, q, tol, max_sweeps, seed)

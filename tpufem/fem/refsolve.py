@@ -108,3 +108,81 @@ def direct_solve(
         + 3 * (sxy**2 + syz**2 + szx**2)
     )
     return u, s6, vm
+
+
+# ---- tet10 (quadratic) independent assembly ---------------------------------
+# 4-point Gauss rule on the tetrahedron, exact for degree-2 integrands; the
+# straight-edge tet10 stiffness integrand (products of linear-in-L shape
+# gradients) is exactly degree 2, so this assembly is EXACT — an independent
+# anchor for the JAX tet10 operators (tpufem.fem.tet10 / tet10_stencil).
+_Q_A, _Q_B = 0.5854101966249685, 0.13819660112501053
+_QPTS = np.array(
+    [
+        [_Q_A, _Q_B, _Q_B, _Q_B],
+        [_Q_B, _Q_A, _Q_B, _Q_B],
+        [_Q_B, _Q_B, _Q_A, _Q_B],
+        [_Q_B, _Q_B, _Q_B, _Q_A],
+    ]
+)
+# midpoint m holds the edge (corner pair) in tet10 column order 4..9
+_T10_EDGES = np.array([(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (2, 3)])
+
+
+def _tet10_shape_grads(grads: np.ndarray) -> np.ndarray:
+    """dN/dx at the 4 quadrature points: (T, 4q, 10, 3) from tet4 corner
+    gradients grads (T,4,3). Corners N_a = L_a(2L_a-1); midpoints 4 L_i L_j."""
+    T = grads.shape[0]
+    G = np.zeros((T, 4, 10, 3))
+    for q, L in enumerate(_QPTS):
+        for a in range(4):
+            G[:, q, a] = (4.0 * L[a] - 1.0) * grads[:, a]
+        for m, (i, j) in enumerate(_T10_EDGES):
+            G[:, q, 4 + m] = 4.0 * (L[i] * grads[:, j] + L[j] * grads[:, i])
+    return G
+
+
+def assemble_K10(nodes10: np.ndarray, tet10: np.ndarray, mat: Material) -> sp.csr_matrix:
+    """Sparse tet10 stiffness via exact quadrature (straight edges).
+
+    nodes10 (N10,3) with corners first then midpoints; tet10 (T,10) in
+    tpufem.fem.tet10 ordering (4 corners + 6 edge midpoints, _EDGES order).
+    """
+    lam, mu = lame_params(mat)
+    grads, vols = tet4_setup_np(nodes10, tet10[:, :4])
+    G = _tet10_shape_grads(grads)  # (T,4,10,3)
+    w = np.abs(vols) / 4.0  # equal weights
+    gg = np.einsum("tqai,tqbj->tqaibj", G, G)
+    gdot = np.einsum("tqad,tqbd->tqab", G, G)
+    eye = np.eye(3)
+    Ke = (
+        lam * gg
+        + mu * np.einsum("tqaibj->tqbiaj", gg)
+        + mu * np.einsum("tqab,ij->tqaibj", gdot, eye)
+    )
+    Ke = (Ke * w[:, None, None, None, None, None]).sum(axis=1)  # (T,10,3,10,3)
+    T = len(tet10)
+    dof = (3 * tet10[:, :, None].astype(np.int64) + np.arange(3)[None, None, :]).reshape(T, 30)
+    rows = np.repeat(dof, 30, axis=1).reshape(-1)
+    cols = np.tile(dof, (1, 30)).reshape(-1)
+    n = 3 * len(nodes10)
+    return sp.coo_matrix(
+        (Ke.reshape(T, 30, 30).reshape(-1), (rows, cols)), shape=(n, n)
+    ).tocsr()
+
+
+def lumped_mass10(nodes10: np.ndarray, tet10: np.ndarray, rho: float) -> np.ndarray:
+    """HRZ (diagonal-scaled) lumped tet10 mass per node (N10,), kg.
+
+    Row-sum lumping of the consistent tet10 mass yields non-positive corner
+    masses; HRZ scales the consistent diagonal to the exact element mass
+    instead. For the straight-edge tet10 the closed forms are
+    corner rho*V/36, midpoint 4*rho*V/27 (sum = rho*V exactly)."""
+    x = nodes10[tet10[:, :4]]
+    e = x[:, 1:] - x[:, :1]
+    vols = np.abs(np.linalg.det(e)) / 6.0
+    m = np.zeros(len(nodes10))
+    for a in range(4):
+        np.add.at(m, tet10[:, a], rho * vols / 36.0)
+    for b in range(4, 10):
+        np.add.at(m, tet10[:, b], 4.0 * rho * vols / 27.0)
+    return m
