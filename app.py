@@ -69,7 +69,7 @@ def build_gradio_app(paths, dynamics_dir=None):
         # reference counterpart — the reference app shows static results only
         dyn = dynamics_entries(dynamics_dir or Path("results"))
         if dyn:
-            gr.Markdown("## Dynamics (modal / buckling)")
+            gr.Markdown("## Dynamics (modal / buckling / prestress)")
             gr.Markdown("  \n\n".join(f"### {e['label']}\n{e['summary']}"
                                       for e in dyn))
             mode_glbs = {f"{e['label']}/{g.name}": g for e in dyn

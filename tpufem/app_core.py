@@ -232,7 +232,8 @@ def dynamics_entries(results_dir: Path) -> list[dict]:
     for d in sorted(p for p in results_dir.iterdir() if p.is_dir()):
         modal_p = d / "modal_report.json"
         buck_p = d / "buckling_report.json"
-        if not modal_p.exists() and not buck_p.exists():
+        sweep_p = d / "prestress_sweep.json"
+        if not modal_p.exists() and not buck_p.exists() and not sweep_p.exists():
             continue
         lines: list[str] = []
         if modal_p.exists():
@@ -252,6 +253,18 @@ def dynamics_entries(results_dir: Path) -> list[dict]:
                 f"factor {lf:.0f}x the {rep.get('pressure_pa', 0)/1e3:.0f} kPa "
                 f"reference load" if lf else "**Buckling**: no positive factor"
             )
+        if sweep_p.exists():
+            rep = json.loads(sweep_p.read_text())
+            fs = rep.get("freqs_hz", [])
+            ps = rep.get("load_factors", [])
+            if fs and ps:
+                lines.append(
+                    f"**Prestressed modal** ({rep.get('n_dof', '?')} DOF, "
+                    f"lambda_cr {rep.get('lambda_cr') and round(rep['lambda_cr']) or '?'}): "
+                    f"f1 {fs[0][0]:.1f} Hz at p=0 -> {fs[-1][0]:.1f} Hz at "
+                    f"p={ps[-1]:.0f} (frequency-collapse curve, "
+                    f"prestress_sweep.json)"
+                )
         glbs = sorted(d.glob("mode_*.glb")) + sorted(d.glob("buckling_mode_*.glb"))
         entries.append({"label": d.name, "summary": "  \n".join(lines), "glbs": glbs})
     return entries

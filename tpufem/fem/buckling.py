@@ -36,15 +36,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpufem.fem.modal import GridBlockSolver
+from functools import partial
+
+from tpufem.fem.modal import (
+    GridBlockSolver,
+    ModalResult,
+    _subspace_smallest,
+    lumped_mass,
+)
 from tpufem.fem.stencil import (
     _HEX_CORNERS,
     _KUHN_TETS,
     from_grid,
+    strain_apply,
     to_grid,
     weld_reduce,
     weld_spread,
 )
+from tpufem.fem.stencil_mg import _cg_grid_init, _cg_grid_run
 from tpufem.mesher import WingMeshResolution
 
 
@@ -232,3 +241,116 @@ class WingBuckling(GridBlockSolver):
             sweeps=sweeps,
             converged=converged,
         )
+
+
+class WingPrestressedModal(WingBuckling):
+    """Stress-stiffened vibration spectrum: (K + p K_G(sigma0)) phi = w^2 M phi.
+
+    Couples the two dynamic analyses of this package: at load factor p = 0
+    it IS the free-vibration pencil (tpufem.fem.modal.WingModal), and as p
+    approaches the critical factor lambda_cr (WingBuckling.solve) the lowest
+    frequency collapses to zero — the classic frequency-vs-load curve used
+    to read buckling margins from vibration tests. Beyond-parity: the
+    reference pipeline (reference src/deep_fem_uav_wing/fem.py) is
+    static-only.
+
+    TPU-native posture is unchanged from the parent classes: sigma0 comes
+    from one converged static pre-solve, K + p K_G is applied matrix-free on
+    the grid (strain_apply + geom_apply fused into one jitted f64 operator),
+    the K-built f32 V-cycle stays the preconditioner (spectrally close for p
+    below critical; CG absorbs the K_G perturbation), and the load factor p
+    is a TRACED scalar argument so ONE compilation serves an entire load
+    sweep."""
+
+    def __init__(self, res: WingMeshResolution, p4, pressure: float = 5e3, **kw):
+        super().__init__(res, p4, pressure=pressure, **kw)
+        self.mass = lumped_mass(
+            self.mesh.nodes.astype(np.float64), self.mesh.tets, self.material.rho
+        )
+        self._pg = None
+        self._load_block = None
+
+    def _prepare_load(self, q: int) -> None:
+        """sigma0 at q lanes + jitted (K + p K_G) CG with p as a traced arg."""
+        self._prepare_pencil(q)
+        if self._load_block == q:
+            return
+        res, geo, sig, free = self.res, self._geo64, self._sig, self._free64
+        lam64, mu64 = self._lam64, self._mu64
+        mstate, smg = self._mstate, self.st.smg
+        inner_tol = self.inner_tol
+
+        def A(pg, x):
+            return strain_apply(res, geo, x, free, lam64, mu64) + pg * geom_apply(
+                res, geo, sig, x, free
+            )
+
+        def Mpre(r):
+            return smg.apply(mstate, r.astype(jnp.float32)).astype(jnp.float64)
+
+        def dot(u_, v_):
+            return (u_ * v_).sum(axis=(0, 2, 3, 4))
+
+        @jax.jit
+        def init(pg, bg):
+            return _cg_grid_init(partial(A, pg), Mpre, dot, bg, jnp.zeros_like(bg))
+
+        @jax.jit
+        def run(pg, cg, maxiter):
+            return _cg_grid_run(partial(A, pg), Mpre, dot, cg, inner_tol, maxiter)
+
+        self._jit_initp = init
+        self._jit_runp = run
+        self._jit_Ap = jax.jit(A)
+        self._load_block = q
+
+    def _block_solve(self, B_np: np.ndarray) -> tuple[np.ndarray, int]:
+        """Y = (K + p K_G)^{-1} B, chunk-bounded (same dispatch policy as
+        GridBlockSolver._block_solve)."""
+        bg = to_grid(self.res, jnp.asarray(B_np))
+        cg = self._jit_initp(self._pg, bg)
+        total = 0
+        while total < self.inner_maxiter:
+            step = min(self.chunk_iters, self.inner_maxiter - total)
+            cg, k, rel, conv = self._jit_runp(self._pg, cg, step)
+            total += int(k)
+            if bool(jnp.all(conv)) or int(k) < step:
+                break
+        return np.array(from_grid(self.res, cg[0]), np.float64), total
+
+    def _apply_K(self, X_np: np.ndarray) -> np.ndarray:
+        xg = to_grid(self.res, jnp.asarray(X_np))
+        return np.asarray(
+            from_grid(self.res, self._jit_Ap(self._pg, xg)), np.float64
+        )
+
+    def solve(
+        self,
+        n_modes: int = 6,
+        load_factor: float = 1.0,
+        block: int | None = None,
+        tol: float = 1e-9,
+        max_sweeps: int = 40,
+        seed: int = 0,
+        X0: np.ndarray | None = None,
+    ) -> ModalResult:
+        k = int(n_modes)
+        q = block or min(2 * k, k + 8)
+        q = max(q, k + 2)
+        self._prepare_load(q)
+        self._pg = jnp.asarray(float(load_factor), jnp.float64)
+        return _subspace_smallest(self, k, q, tol, max_sweeps, seed, X0=X0)
+
+    def frequency_sweep(
+        self, load_factors, n_modes: int = 4, **kw
+    ) -> list[ModalResult]:
+        """Modal spectra across load factors. One compilation serves the
+        whole sweep (p is traced); each step warm-starts from the previous
+        subspace, so the per-point cost drops along the curve."""
+        outs: list[ModalResult] = []
+        X0 = None
+        for p in load_factors:
+            out = self.solve(n_modes=n_modes, load_factor=float(p), X0=X0, **kw)
+            X0 = out.modes
+            outs.append(out)
+        return outs

@@ -270,17 +270,21 @@ class GridBlockSolver:
 
 
 def _subspace_smallest(
-    solver, k: int, q: int, tol: float, max_sweeps: int, seed: int
+    solver, k: int, q: int, tol: float, max_sweeps: int, seed: int,
+    X0: np.ndarray | None = None,
 ) -> ModalResult:
     """Bathe subspace iteration for the smallest eigenpairs of (K, M) with
     diagonal M. `solver` provides num_nodes, free_rows, mass, _block_solve
     (K^{-1} on a mesh-space block) and _apply_K (for the final honesty
-    residual). Shared by the tet4 and tet10 engines."""
+    residual). Shared by the tet4 and tet10 engines; X0 (N,3,<=q) seeds the
+    leading subspace columns (warm start across a load sweep)."""
     import scipy.linalg as sla
 
     m3 = solver.mass[:, None] * solver.free_rows[:, None]  # (N,1) masked mass
     rng = np.random.default_rng(seed)
     X = rng.standard_normal((solver.num_nodes, 3, q))
+    if X0 is not None:
+        X[:, :, : X0.shape[2]] = X0[:, :, :q]
     X[~solver.free_rows] = 0.0
 
     lam_prev = None
