@@ -56,6 +56,19 @@ def main(argv=None) -> None:
     ap.add_argument("--frf", action="store_true",
                     help="write the tip frequency-response function (pressure "
                          "load, modal superposition, 2%% damping) to frf.json")
+    ap.add_argument("--psd", action="store_true",
+                    help="write the stationary von-Karman-gust random "
+                         "response (RMS displacement field + modal RMS) to "
+                         "psd_response.json")
+    ap.add_argument("--gust_sigma_ms", type=float, default=2.0,
+                    help="RMS vertical gust velocity sigma_w (m/s)")
+    ap.add_argument("--turb_scale_m", type=float, default=50.0,
+                    help="von Karman turbulence length scale L (m)")
+    ap.add_argument("--airspeed_ms", type=float, default=30.0,
+                    help="flight speed V; quasi-steady gust factor g = "
+                         "gust_gain * w_g / V scales the pressure pattern")
+    ap.add_argument("--gust_gain", type=float, default=1.0,
+                    help="pressure sensitivity d(P/P0)/d(alpha) in 1/rad")
     ap.add_argument("--glb", action="store_true", help="write per-mode GLBs")
     ap.add_argument("--glb_scale", type=float, default=None,
                     help="mode deflection exaggeration (default: 15%% of span)")
@@ -159,6 +172,40 @@ def main(argv=None) -> None:
             "zeta": 0.02,
             "pressure_pa": 5e3,
         }))
+
+    if args.psd:
+        from tpufem.fem.modal import random_response, von_karman_psd
+
+        force, tip = _pressure_force()
+        zeta = 0.02
+        f1 = out.freqs_hz[0]
+        fmax = 1.5 * out.freqs_hz[-1]
+        df = min(zeta * f1 / 4.0, fmax / 2000.0)
+        # log-spaced low-frequency segment: gust spectra are low-f heavy
+        # (von Karman: most variance below V / (2 pi 1.339 L), typically
+        # well under df) — a linear grid starting at df drops real variance
+        flow = np.geomspace(df * 1e-3, df, 64, endpoint=False)
+        fgrid = np.concatenate([flow, np.arange(1, int(fmax / df) + 1) * df])
+        s_w = von_karman_psd(
+            fgrid, args.gust_sigma_ms, args.turb_scale_m, args.airspeed_ms
+        )
+        s_g = (args.gust_gain / args.airspeed_ms) ** 2 * s_w
+        rms_u, sig_q = random_response(out, wm.mass, force, fgrid, s_g,
+                                       zeta=zeta)
+        tip_rms = float(rms_u[tip, 2].mean())
+        (outdir / "psd_response.json").write_text(json.dumps({
+            "sigma_w_ms": args.gust_sigma_ms,
+            "turb_scale_m": args.turb_scale_m,
+            "airspeed_ms": args.airspeed_ms,
+            "gust_gain": args.gust_gain,
+            "zeta": zeta,
+            "pressure_pa": 5e3,
+            "freq_grid": [float(fgrid[0]), float(fgrid[-1]), len(fgrid)],
+            "tip_rms_uz_m": tip_rms,
+            "max_rms_u_m": float(rms_u.max()),
+            "modal_rms": sig_q.tolist(),
+            "freqs_hz": out.freqs_hz.tolist(),
+        }, indent=2))
 
     if args.glb:
         from tpufem.viz.colormaps import normalize_range, viridis

@@ -245,6 +245,13 @@ def dynamics_entries(results_dir: Path) -> list[dict]:
             )
             if (d / "frf.json").exists():
                 lines.append("tip FRF sweep available (frf.json)")
+            if (d / "psd_response.json").exists():
+                psd = json.loads((d / "psd_response.json").read_text())
+                lines.append(
+                    f"von Karman gust response: tip RMS "
+                    f"{1e3 * psd.get('tip_rms_uz_m', 0):.2f} mm at sigma_w "
+                    f"{psd.get('sigma_w_ms', 0):g} m/s (psd_response.json)"
+                )
         if buck_p.exists():
             rep = json.loads(buck_p.read_text())
             lf = rep.get("load_factor")

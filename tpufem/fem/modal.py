@@ -153,6 +153,76 @@ def transient_response(
     return np.einsum("tk,nik->tni", q, phi)
 
 
+def von_karman_psd(
+    freqs_hz: np.ndarray, sigma_w: float, scale_l: float, airspeed: float
+) -> np.ndarray:
+    """One-sided PSD of vertical gust velocity, von Karman form, (m/s)^2/Hz.
+
+    Phi(Omega) = sigma^2 (L/pi) (1 + 8/3 (1.339 L Omega)^2) /
+    (1 + (1.339 L Omega)^2)^(11/6) with Omega = 2 pi f / V the spatial
+    frequency; S(f) = Phi(Omega) * 2 pi / V. One-sided over f in [0, inf):
+    integral S df = sigma_w^2 exactly (the 1.339 constant makes
+    int (1+8/3 u^2)(1+u^2)^{-11/6} du = pi * 1.339; verified numerically in
+    tests/test_random_response.py)."""
+    f = np.asarray(freqs_hz, np.float64)
+    om = 2.0 * np.pi * f / airspeed
+    u2 = (1.339 * scale_l * om) ** 2
+    phi = (
+        sigma_w**2 * (scale_l / np.pi) * (1.0 + (8.0 / 3.0) * u2)
+        / (1.0 + u2) ** (11.0 / 6.0)
+    )
+    return phi * (2.0 * np.pi / airspeed)
+
+
+def random_response(
+    result: ModalResult,
+    mass: np.ndarray,
+    force: np.ndarray,
+    freqs_hz: np.ndarray,
+    s_g: np.ndarray,
+    zeta: float = 0.02,
+    chunk: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stationary random-vibration RMS by modal superposition.
+
+    The load is F * g(t) with F the spatial pattern (N,3) and g a zero-mean
+    stationary process with one-sided PSD s_g(f) (1/Hz for dimensionless g,
+    sampled at freqs_hz). The response PSD at each dof is |T(f)|^2 s_g(f)
+    with T = harmonic_response's transfer field, so the RMS field is
+    sigma_u = sqrt(int s_g |T|^2 df) — integrated by trapezoid over the
+    supplied grid (resolve the resonance peaks, df << 2 zeta f_i, AND the
+    low-frequency plateau: gust spectra concentrate variance near f = 0,
+    e.g. below V / (2 pi 1.339 L) for von Karman — extend the grid down in
+    log spacing rather than starting at a linear df), chunked
+    over frequency so the (F,N,3) transfer field never materializes at
+    flagship node counts. Returns (rms_u (N,3), sigma_q (k,) modal RMS)."""
+    f = np.asarray(freqs_hz, np.float64)
+    s = np.asarray(s_g, np.float64)
+    w = np.empty_like(f)  # trapezoid weights
+    w[1:-1] = 0.5 * (f[2:] - f[:-2])
+    w[0] = 0.5 * (f[1] - f[0])
+    w[-1] = 0.5 * (f[-1] - f[-2])
+    ws = w * s
+
+    acc = np.zeros(force.shape, np.float64)
+    for i in range(0, len(f), chunk):
+        U = harmonic_response(result, mass, force, f[i : i + chunk], zeta)
+        acc += (ws[i : i + chunk, None, None] * (U.real**2 + U.imag**2)).sum(
+            axis=0
+        )
+
+    # modal RMS from the scalar SDOF transfer functions (no field needed)
+    phi = result.modes
+    f_modal = np.einsum("nik,ni->k", phi, force.astype(np.float64))
+    om = 2.0 * np.pi * f
+    wi = np.sqrt(np.maximum(result.lam, 0.0))
+    den2 = (wi[None, :] ** 2 - om[:, None] ** 2) ** 2 + (
+        2.0 * zeta * wi[None, :] * om[:, None]
+    ) ** 2
+    sig_q2 = (ws[:, None] * (f_modal[None, :] ** 2) / den2).sum(axis=0)
+    return np.sqrt(acc), np.sqrt(sig_q2)
+
+
 class GridBlockSolver:
     """Shared machinery for block eigen/solve algorithms on the grid stencil
     operator: one wing instance (p4), a q-lane tiled MG state, and a
