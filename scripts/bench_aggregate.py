@@ -17,24 +17,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpufem.models.sage import segment_mean_aggregate
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tpufem.models.sage import segment_mean_aggregate  # noqa: E402
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--nodes", type=int, default=36_864)
-    ap.add_argument("--edges", type=int, default=221_184)
-    ap.add_argument("--hidden", type=int, default=128)
-    ap.add_argument("--reps", type=int, default=20)
-    args = ap.parse_args()
-
-    N, E, C = args.nodes, args.edges, args.hidden
+def run_size(N: int, E: int, C: int, reps: int) -> None:
     rng = np.random.default_rng(0)
     # surface-mesh-like connectivity: ~6 neighbours per node, sorted by dst
     dst = np.sort(rng.integers(0, N, E)).astype(np.int32)
@@ -58,10 +54,10 @@ def main() -> None:
             out = f(h)
             np.asarray(out)  # compile + sync via host fetch (axon gotcha)
             t0 = time.perf_counter()
-            for _ in range(args.reps):
+            for _ in range(reps):
                 out = f(h)
             np.asarray(out)
-            dt = (time.perf_counter() - t0) / args.reps * 1e3
+            dt = (time.perf_counter() - t0) / reps * 1e3
             results[f"{name}:{mode}"] = dt
             print(
                 json.dumps(
@@ -82,7 +78,26 @@ def main() -> None:
     a = np.asarray(impls["segment"](h))
     b = np.asarray(impls["pallas"](h))
     rel = float(np.abs(a - b).max() / max(np.abs(a).max(), 1e-30))
-    print(json.dumps({"agreement_rel_max": rel}), flush=True)
+    print(json.dumps({"nodes": N, "agreement_rel_max": rel}), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=0,
+                    help="0 = bench both the kernel-eligible size (24k nodes, "
+                         "VMEM-resident accumulator) and the flagship size "
+                         "(36.9k nodes, where the pallas path falls back to "
+                         "XLA segment_sum)")
+    ap.add_argument("--edges", type=int, default=0)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=20)
+    args = ap.parse_args()
+
+    if args.nodes:
+        run_size(args.nodes, args.edges or 6 * args.nodes, args.hidden, args.reps)
+    else:
+        run_size(24_064, 144_384, args.hidden, args.reps)
+        run_size(36_864, 221_184, args.hidden, args.reps)
 
 
 if __name__ == "__main__":

@@ -15,7 +15,7 @@ def test_sorted_segment_sum_matches_reference():
     seg = np.sort(rng.integers(0, N, size=E)).astype(np.int32)
     msgs = rng.normal(size=(E, C)).astype(np.float32)
     out = np.asarray(
-        sorted_segment_sum_pallas(jnp.asarray(msgs), jnp.asarray(seg), N, interpret=True)
+        sorted_segment_sum_pallas(jnp.asarray(msgs), jnp.asarray(seg), N, True)
     )
     ref = np.zeros((N, C), dtype=np.float64)
     np.add.at(ref, seg, msgs.astype(np.float64))
@@ -28,7 +28,7 @@ def test_sorted_segment_sum_with_gaps_and_padding():
     msgs = np.arange(8, dtype=np.float32).reshape(-1, 1) + 1
     N = 64
     out = np.asarray(
-        sorted_segment_sum_pallas(jnp.asarray(msgs), jnp.asarray(seg), N, interpret=True)
+        sorted_segment_sum_pallas(jnp.asarray(msgs), jnp.asarray(seg), N, True)
     )
     assert out[0, 0] == 3.0  # 1+2
     assert out[5, 0] == 12.0  # 3+4+5
