@@ -24,3 +24,9 @@ tpufem re-designs every stage TPU-first, fully in-house:
 __version__ = "0.1.0"
 
 PIPELINE_VERSION = "tpu-v0.1.0"
+
+# Persistent XLA compilation cache: repeat CLI invocations (bench, dataset
+# resume, demos) skip minutes of recompilation. Opt out: TPUFEM_NO_XLA_CACHE=1.
+from tpufem.utils.xla_cache import enable as _enable_xla_cache  # noqa: E402
+
+_enable_xla_cache()

@@ -1,0 +1,49 @@
+"""Persistent XLA compilation cache for every tpufem entry point.
+
+The heavy solvers here (stencil MG at 100k+ DOF, the f64-emulated outer CG,
+the tet10 doubled-grid engine) cost minutes of single-core XLA compile time
+per process, while the compiled executables are identical across runs of the
+same CLI. JAX's persistent compilation cache serializes compiled executables
+to disk keyed by (HLO, compile options, backend fingerprint), so a repeat
+invocation — e.g. the driver's `python bench.py`, a dataset-generation resume,
+or a re-run of a demo script — skips compilation entirely.
+
+Enabled automatically on `import tpufem` (see tpufem/__init__.py); opt out
+with TPUFEM_NO_XLA_CACHE=1, point elsewhere with TPUFEM_XLA_CACHE_DIR.
+
+The reference pipeline has no analog: its solver is a CalculiX subprocess
+(reference src/deep_fem_uav_wing/fem.py:524-533) with no compile stage at all,
+so this is pure rebuild-side wall-clock engineering.
+"""
+
+from __future__ import annotations
+
+import os
+
+_ENABLED = False
+
+
+def enable() -> bool:
+    """Idempotently turn on the persistent compilation cache. Returns True
+    if the cache is (already) active."""
+    global _ENABLED
+    if _ENABLED:
+        return True
+    if os.environ.get("TPUFEM_NO_XLA_CACHE"):
+        return False
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "TPUFEM_XLA_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "tpufem_xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything that takes >=1 s to compile, regardless of size
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        return False
+    _ENABLED = True
+    return True
