@@ -154,6 +154,32 @@ def run_batched(paths, case_ids, args, material) -> list[StepReport]:
         raise SystemExit(f"--batched needs a single shared resolution, got {res_keys}")
     res = WingMeshResolution(*res_keys.pop())
 
+    # crash resume: a long batched run that loses the TPU worker mid-flight
+    # (it happens — the axon worker can die under sustained load) must not
+    # redo finished solves; skip cases whose report already says success
+    done_reports = []
+    if not args.force:
+        pend_ids, pend_params = [], []
+        for cid, p in zip(case_ids, params_list):
+            rp = paths.fem_case(cid) / "fem_report.json"
+            rep = None
+            if rp.exists():
+                try:
+                    rep = StepReport(**json.loads(rp.read_text()))
+                except Exception:  # noqa: BLE001
+                    rep = None
+            if rep is not None and rep.status == "success":
+                done_reports.append(rep)
+            else:
+                pend_ids.append(cid)
+                pend_params.append(p)
+        if done_reports:
+            print(f"[batched] resume: {len(done_reports)} cases already solved, "
+                  f"{len(pend_ids)} remaining")
+        case_ids, params_list = pend_ids, pend_params
+    if not case_ids:
+        return done_reports
+
     ctx = None
     stencil = None
     reports = []
@@ -285,7 +311,7 @@ def run_batched(paths, case_ids, args, material) -> list[StepReport]:
             reports.append(rep)
             print(f"[batched] {cid} {rep.status}"
                   + (f" ({rep.failure_reason})" if rep.failure_reason else ""))
-    return reports
+    return done_reports + reports
 
 
 if __name__ == "__main__":

@@ -34,10 +34,30 @@ def enable() -> bool:
     try:
         import jax
 
-        cache_dir = os.environ.get(
-            "TPUFEM_XLA_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "tpufem_xla"),
-        )
+        cache_dir = os.environ.get("TPUFEM_XLA_CACHE_DIR")
+        if not cache_dir:
+            # key the default dir by a HOST fingerprint: XLA:CPU serializes
+            # AOT code for the exact compile-machine feature set, and the
+            # loader only WARNS (then may SIGILL) when a cache written on a
+            # different host is replayed — observed after a VM migration
+            # ("Target machine feature +prefer-no-scatter is not supported
+            # on the host machine"). A per-host dir makes migration safe.
+            import hashlib
+            import platform
+
+            probe = platform.machine() + platform.processor() + jax.__version__
+            try:
+                with open("/proc/cpuinfo") as f:
+                    for line in f:
+                        if line.startswith(("flags", "Features")):
+                            probe += line
+                            break
+            except OSError:
+                pass
+            fp = hashlib.sha256(probe.encode()).hexdigest()[:12]
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "tpufem_xla", fp
+            )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache everything that takes >=1 s to compile, regardless of size
