@@ -233,7 +233,9 @@ def dynamics_entries(results_dir: Path) -> list[dict]:
         modal_p = d / "modal_report.json"
         buck_p = d / "buckling_report.json"
         sweep_p = d / "prestress_sweep.json"
-        if not modal_p.exists() and not buck_p.exists() and not sweep_p.exists():
+        nl_p = d / "nonlinear_report.json"
+        if (not modal_p.exists() and not buck_p.exists()
+                and not sweep_p.exists() and not nl_p.exists()):
             continue
         lines: list[str] = []
         if modal_p.exists():
@@ -272,6 +274,17 @@ def dynamics_entries(results_dir: Path) -> list[dict]:
                     f"p={ps[-1]:.0f} (frequency-collapse curve, "
                     f"prestress_sweep.json)"
                 )
-        glbs = sorted(d.glob("mode_*.glb")) + sorted(d.glob("buckling_mode_*.glb"))
+        if nl_p.exists():
+            rep = json.loads(nl_p.read_text())
+            tip = rep.get("tip_deflection_m", {})
+            lines.append(
+                f"**Nonlinear statics** ({rep.get('n_dof', '?')} DOF, "
+                f"{rep.get('pressure_pa', 0)/1e3:.0f} kPa): tip "
+                f"{tip.get('nonlinear', 0):.3f} m vs linear "
+                f"{tip.get('linear', 0):.3f} m "
+                f"({tip.get('stiffening_pct', 0):+.2f}% membrane stiffening)"
+            )
+        glbs = (sorted(d.glob("mode_*.glb")) + sorted(d.glob("buckling_mode_*.glb"))
+                + sorted(d.glob("wing_*_deformed.glb")))
         entries.append({"label": d.name, "summary": "  \n".join(lines), "glbs": glbs})
     return entries
