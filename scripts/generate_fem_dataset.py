@@ -183,6 +183,7 @@ def run_batched(paths, case_ids, args, material) -> list[StepReport]:
     ctx = None
     stencil = None
     reports = []
+    retry_queue = []  # (cid, params, reason): failed lanes, retried at the END
     chunk = args.batch_size or len(case_ids)
     for lo in range(0, len(case_ids), chunk):
         ids = case_ids[lo : lo + chunk]
@@ -277,21 +278,15 @@ def run_batched(paths, case_ids, args, material) -> list[StepReport]:
                 extra = {"pressure_pa": args.pressure, "batched": True,
                          "engine": args.engine}
             if status == "failed":
-                # per-lane recovery: re-solve just this case through the
-                # sequential driver, whose ladder escalates refined -> f64
-                # (tpufem's own retry policy must cover its production path)
-                print(f"[batched] {cid} failed ({reason}); retrying sequentially")
-                rep = run_fem_case(
-                    plist[k], cid, paths,
-                    pressure=args.pressure, material=material,
-                    solve_config=WingSolveConfig(
-                        pressure=args.pressure, material=material,
-                        tol=args.tol, maxiter=args.maxiter,
-                    ),
-                    force=True, make_glb=not args.no_glb,
-                )
-                rep.extra["batched_lane_failure"] = reason
-                write_report(case_dir, rep)
+                # per-lane recovery: queue for the sequential driver's ladder
+                # (refined -> f64). Deferred to AFTER all batches so a slow
+                # retry (B=1 compiles take minutes over the tunnel) never
+                # blocks the healthy lanes' reports — the crash-resume
+                # watchdog reads report progress
+                print(f"[batched] {cid} failed ({reason}); queued for "
+                      "sequential retry")
+                retry_queue.append((cid, plist[k], reason))
+                continue
             else:
                 rep = StepReport(
                     case_id=cid, step="fem", status=status, failure_reason=reason,
@@ -311,6 +306,22 @@ def run_batched(paths, case_ids, args, material) -> list[StepReport]:
             reports.append(rep)
             print(f"[batched] {cid} {rep.status}"
                   + (f" ({rep.failure_reason})" if rep.failure_reason else ""))
+    for cid, params, reason in retry_queue:
+        print(f"[batched] retrying {cid} sequentially ({reason})")
+        rep = run_fem_case(
+            params, cid, paths,
+            pressure=args.pressure, material=material,
+            solve_config=WingSolveConfig(
+                pressure=args.pressure, material=material,
+                tol=args.tol, maxiter=args.maxiter,
+            ),
+            force=True, make_glb=not args.no_glb,
+        )
+        rep.extra["batched_lane_failure"] = reason
+        write_report(paths.fem_case(cid), rep)
+        reports.append(rep)
+        print(f"[batched] {cid} {rep.status}"
+              + (f" ({rep.failure_reason})" if rep.failure_reason else ""))
     return done_reports + reports
 
 
