@@ -42,8 +42,17 @@ def main() -> None:
                          "f32-correction floor at this conditioning is ~3.3e-6, "
                          "ABOVE tol 1e-6 (321 iters, not converged) — kept "
                          "only for comparison runs")
-    ap.add_argument("--no_warm", action="store_true",
-                    help="outer64 only: skip the f32 warm start (cold f64 CG)")
+    ap.add_argument("--warm_f32", action="store_true",
+                    help="outer64 only: run the legacy f32 warm start before "
+                         "the f64 correction cascade (measured NET LOSS at "
+                         "DOF100K: the f32 recurrence drifts eps_f32*kappa "
+                         "from the true residual, so its 'solution' starts "
+                         "the cascade no closer than zero does)")
+    ap.add_argument("--dd_main", action="store_true",
+                    help="outer64 only: run the legacy full-strength emulated-"
+                         "f64 CG phase to tol before the host-judged "
+                         "correction rounds (the round-3 bench path; ~146 "
+                         "extra dd iterations grinding at the dd noise floor)")
     ap.add_argument("--smooth_degree", type=int, default=None,
                     help="override StencilMG Chebyshev degree (default 2)")
     ap.add_argument("--smooth_alpha", type=float, default=None,
@@ -85,7 +94,7 @@ def main() -> None:
     warm_p4 = sample(batch)
     p4 = sample(batch)
     kw = (
-        dict(outer_f64=True, warm_f32=not args.no_warm)
+        dict(outer_f64=True, warm_f32=args.warm_f32, dd_main=args.dd_main)
         if args.mode == "outer64"
         else dict(refine_steps=4, inner_tol=1e-3)
     )
@@ -124,7 +133,8 @@ def main() -> None:
                     ),
                     "device": str(jax.devices()[0]),
                     "mg": mg_kwargs or {"smooth_degree": 2, "smooth_alpha": 0.25},
-                    "warm_f32": args.mode == "outer64" and not args.no_warm,
+                    "warm_f32": args.mode == "outer64" and args.warm_f32,
+                    "dd_main": bool(args.dd_main),
                 },
             }
         )

@@ -196,13 +196,28 @@ class WingBuckling(GridBlockSolver):
 
         import scipy.linalg as sla
 
+        # wall-clock levers shared with tpufem.fem.modal._subspace_smallest:
+        # Ritz warm start (S x = nu K x near convergence, so K Y = S X has
+        # the prediction Y ~ X diag(nu)) + inexact early sweeps (inner tol
+        # tracks the factor movement; accept convergence only from a sweep
+        # run at the full inner_tol)
+        inner_tol = float(self.inner_tol)
+        loose_cap = max(inner_tol, 1e-3)
         lam_prev = None
+        nu_cols = None
+        rel_last = None
         sweeps = 0
         converged = False
         nu = None
         for sweeps in range(1, max_sweeps + 1):
+            if rel_last is None:
+                tol_sweep = loose_cap
+            else:
+                tol_sweep = min(max(0.1 * rel_last, inner_tol), loose_cap)
+            tol_sweep = max(10.0 ** np.floor(np.log10(tol_sweep)), inner_tol)
             SX = self._S(X)
-            Y, _ = self._block_solve(SX)  # K Y = S X
+            Y0 = X * nu_cols[None, None, :] if nu_cols is not None else None
+            Y, _ = self._block_solve(SX, Y0, tol_sweep)  # K Y = S X
             Y[~self.free_rows] = 0.0
             Kbar = np.einsum("niq,nip->qp", Y, SX)  # Y^T K Y
             SY = self._S(Y)
@@ -212,13 +227,15 @@ class WingBuckling(GridBlockSolver):
             nu, Q = sla.eigh(Sbar, Kbar)  # ascending; K-orthonormal Q
             # dominant |nu| subspace is retained automatically (all q kept)
             X = np.einsum("niq,qp->nip", Y, Q)
+            nu_cols = nu  # per-column Ritz values for the next warm start
             pos = nu[nu > 0]
             lam_now = np.sort(1.0 / pos)[:k] if len(pos) else np.array([])
             if lam_prev is not None and len(lam_now) and len(lam_prev) == len(
                 lam_now
             ):
                 rel = np.abs(lam_now - lam_prev) / np.maximum(lam_now, 1e-300)
-                if float(rel.max()) < tol:
+                rel_last = float(rel.max())
+                if rel_last < tol and tol_sweep <= inner_tol * (1 + 1e-12):
                     converged = True
                     break
             lam_prev = lam_now.copy() if len(lam_now) else None
@@ -291,28 +308,41 @@ class WingPrestressedModal(WingBuckling):
         def dot(u_, v_):
             return (u_ * v_).sum(axis=(0, 2, 3, 4))
 
-        @jax.jit
-        def init(pg, bg):
-            return _cg_grid_init(partial(A, pg), Mpre, dot, bg, jnp.zeros_like(bg))
+        del inner_tol  # tol is traced per solve (inexact subspace sweeps)
 
         @jax.jit
-        def run(pg, cg, maxiter):
-            return _cg_grid_run(partial(A, pg), Mpre, dot, cg, inner_tol, maxiter)
+        def init(pg, bg, x0g):
+            return _cg_grid_init(partial(A, pg), Mpre, dot, bg, x0g)
+
+        @jax.jit
+        def run(pg, cg, tol, maxiter):
+            return _cg_grid_run(partial(A, pg), Mpre, dot, cg, tol, maxiter)
 
         self._jit_initp = init
         self._jit_runp = run
         self._jit_Ap = jax.jit(A)
         self._load_block = q
 
-    def _block_solve(self, B_np: np.ndarray) -> tuple[np.ndarray, int]:
-        """Y = (K + p K_G)^{-1} B, chunk-bounded (same dispatch policy as
-        GridBlockSolver._block_solve)."""
+    def _block_solve(
+        self,
+        B_np: np.ndarray,
+        x0_np: np.ndarray | None = None,
+        tol: float | None = None,
+    ) -> tuple[np.ndarray, int]:
+        """Y = (K + p K_G)^{-1} B, chunk-bounded (same dispatch policy, warm
+        start, and per-solve tol as GridBlockSolver._block_solve)."""
+        tol = self.inner_tol if tol is None else float(tol)
         bg = to_grid(self.res, jnp.asarray(B_np))
-        cg = self._jit_initp(self._pg, bg)
+        x0g = (
+            to_grid(self.res, jnp.asarray(x0_np))
+            if x0_np is not None
+            else jnp.zeros_like(bg)
+        )
+        cg = self._jit_initp(self._pg, bg, x0g)
         total = 0
         while total < self.inner_maxiter:
             step = min(self.chunk_iters, self.inner_maxiter - total)
-            cg, k, rel, conv = self._jit_runp(self._pg, cg, step)
+            cg, k, rel, conv = self._jit_runp(self._pg, cg, tol, step)
             total += int(k)
             if bool(jnp.all(conv)) or int(k) < step:
                 break

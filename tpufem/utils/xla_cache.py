@@ -47,10 +47,21 @@ def enable() -> bool:
 
             probe = platform.machine() + platform.processor() + jax.__version__
             try:
+                # both the ISA flags AND the model name: XLA:CPU folds
+                # model-keyed tuning flags (+prefer-no-scatter/-gather) into
+                # the serialized AOT target, so two hosts with identical
+                # `flags` lines but different models still produce
+                # incompatible caches (observed: loader E-warnings after a
+                # VM migration that preserved the flags line)
+                want = ("flags", "Features", "model name")
+                got = set()
                 with open("/proc/cpuinfo") as f:
                     for line in f:
-                        if line.startswith(("flags", "Features")):
+                        key = line.split(":", 1)[0].strip()
+                        if line.startswith(want) and key not in got:
+                            got.add(key)
                             probe += line
+                        if len(got) == len(want):
                             break
             except OSError:
                 pass
