@@ -13,6 +13,8 @@ import pytest
 from tpufem.fem.adjoint import DifferentiableWingFEM
 from tpufem.mesher import WingMeshResolution
 
+pytestmark = pytest.mark.slow  # multi-minute engine cross-checks
+
 RES = WingMeshResolution(8, 12, 2, te_floor_frac=0.006, spacing="le")
 P0 = np.array([[1.2, 0.35, 10.0, 0.10], [1.7, 0.25, 22.0, 0.08]])
 

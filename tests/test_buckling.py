@@ -74,6 +74,7 @@ def test_geom_apply_matches_numpy_assembly():
     assert np.abs(y - y_np).max() / np.abs(y_np).max() < 1e-13
 
 
+@pytest.mark.slow
 def test_buckling_factors_match_dense_pencil():
     """Subspace iteration factors == dense eigh(-K_G, K) of the assembled
     pencil (sigma0 from an independent scipy static solve)."""

@@ -63,6 +63,7 @@ def test_graph_features(graph):
     )
 
 
+@pytest.mark.slow
 def test_model_forward_and_grads(graph):
     cfg = SAGEConfig(hidden=32, encoder_hidden=16, decoder_hidden=16, num_layers=2)
     model = GraphSAGE(cfg)

@@ -70,6 +70,7 @@ def test_modal_matches_scipy_eigsh(scipy_reference):
         assert num / den > 0.999999, (i, num / den)
 
 
+@pytest.mark.slow
 def test_harmonic_response_matches_direct_solve(scipy_reference):
     """Modal superposition is EXACT for a force in the span of the retained
     modes: compare vs a direct (K - w^2 M) solve of the assembled system at
@@ -193,6 +194,7 @@ def test_assemble_k10_matches_jax_operator():
     np.testing.assert_allclose(m.sum(), mat.rho * vol, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_modal10_matches_scipy_eigsh():
     """tet10 subspace iteration == scipy shift-invert on the assembled
     quadratic pencil (independent assembly, HRZ mass)."""

@@ -55,6 +55,7 @@ def test_prolongation_reproduces_linear_fields():
     assert np.abs(interp_y - uy_f).max() / np.abs(uy_f).max() < 1e-6  # f32 weights
 
 
+@pytest.mark.slow
 def test_vcycle_symmetric_positive():
     bt = WingBatchT(RES, dtype=jnp.float64, mg_levels=None)
     lam, mu = lame_params(Material())

@@ -114,6 +114,7 @@ def test_cauchy_reduces_to_linear_stress(grid_setup):
     assert num / den < 1e-3
 
 
+@pytest.mark.slow
 def test_newton_solve_converges_and_stiffens():
     """Full solve at a hard load on a slender wing (5.6% span deflection):
     Newton converges, and membrane stretching makes the nonlinear tip
@@ -135,6 +136,7 @@ def test_newton_solve_converges_and_stiffens():
     assert any(h["newton_iters"] >= 2 for h in out.history)
 
 
+@pytest.mark.slow
 def test_newton_small_load_matches_linear_solution():
     """At a light load the nonlinear solve lands on the linear solution."""
     solver = WingNonlinear(RES, PARAMS, pressure=1.0, inner_tol=1e-10,

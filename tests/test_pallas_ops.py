@@ -7,6 +7,7 @@ import numpy as np
 
 from tpufem.models.sage import segment_mean_aggregate
 from tpufem.ops.gather_scatter import gather_mean_aggregate, sorted_segment_sum_pallas
+import pytest
 
 
 def test_sorted_segment_sum_matches_reference():
@@ -48,6 +49,7 @@ def test_gather_mean_matches_segment_mean():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sage_pallas_impl_forward():
     from tpufem.models.sage import GraphSAGE, SAGEConfig
 

@@ -79,6 +79,7 @@ def test_halo_pcg_uneven_slabs():
     assert err < 1e-8, err
 
 
+@pytest.mark.slow
 def test_halo_pcg_tet10_matches_single_device():
     """Sharded tet10 == single-device tet10 (VERDICT round-1 'done' criterion)."""
     from tpufem.fem.tet10 import (
@@ -118,6 +119,7 @@ def test_halo_partition_invariants():
     assert part.elems.max() < part.n_max + part.g_max
 
 
+@pytest.mark.slow
 def test_halo_partition_flagship_resolution():
     """BASELINE config 5 literally: the ~2.5M-DOF tet10 flagship resolution
     (NJ=129 span stations — indivisible by any device count, the round-1
@@ -155,6 +157,7 @@ def test_gspmd_sharded_solve():
     assert err < 1e-7, err
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs():
     import optax
 

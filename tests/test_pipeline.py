@@ -289,6 +289,7 @@ def test_fem_retry_ladder_rescues_f32_divergence(tmp_path):
     assert "spans" in f.extra and any(k.startswith("solve_") for k in f.extra["spans"])
 
 
+@pytest.mark.slow
 def test_fem_auto_routes_structured_mesh_through_stencil_engine(tmp_path):
     """The default engine="auto" must solve a structured-resolution case via
     the stencil MG engine (the production path) in ONE attempt, converging in

@@ -16,6 +16,9 @@ from tpufem.mesher import WingMeshResolution, structured_wing_mesh
 from tpufem.sets import build_boundary_sets
 
 from tests.test_buckling import _kg_coefs
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute engine cross-checks
 
 PARAMS = (1.2, 0.35, 10.0, 0.10)
 RES = WingMeshResolution(8, 10, 2, 0.006, "le")

@@ -15,6 +15,7 @@ from tpufem.fem.modal import (
 )
 from tpufem.fem.refsolve import pressure_loads_np
 from tpufem.mesher import WingMeshResolution
+import pytest
 
 PARAMS = (1.2, 0.35, 10.0, 0.10)
 RES = WingMeshResolution(8, 10, 2, 0.006, "le")
@@ -28,6 +29,7 @@ def test_von_karman_psd_integrates_to_variance():
     np.testing.assert_allclose(var, 9.0, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_random_rms_matches_time_domain():
     """RMS field from the PSD integral == RMS of a time-domain realization.
 

@@ -13,6 +13,8 @@ from tpufem.mesher import DOF1M_TET10, WingMeshResolution, structured_wing_mesh
 from tpufem.parallel.shard_stencil import ShardedStencilSolver, make_plan
 from tpufem.sets import build_boundary_sets
 
+pytestmark = pytest.mark.slow  # multi-minute engine cross-checks
+
 PARAMS = (1.2, 0.35, 10.0, 0.10)
 
 

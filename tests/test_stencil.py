@@ -21,6 +21,7 @@ P4 = np.array([[1.2, 0.35, 10.0, 0.10], [2.0, 0.2, 30.0, 0.05]])
 
 
 @pytest.mark.parametrize("te_floor", [0.006, 0.0])
+@pytest.mark.slow
 def test_stencil_apply_matches_gather_operator(te_floor):
     res = WingMeshResolution(8, 6, 3, te_floor_frac=te_floor, spacing="le")
     dt = jnp.float64
@@ -57,6 +58,7 @@ def test_stencil_apply_matches_gather_operator(te_floor):
     np.testing.assert_allclose(np.asarray(from_grid(res, ug)), np.asarray(u))
 
 
+@pytest.mark.slow
 def test_wing_stencil_solver_matches_gather_mg():
     from tpufem.fem.stencil_mg import WingStencilT
 
@@ -76,6 +78,7 @@ def test_wing_stencil_solver_matches_gather_mg():
     assert out.iters <= out_ref.iters * 1.5
 
 
+@pytest.mark.slow
 def test_wing_stencil_outer_f64_true_residual():
     """The bench path: f32 engine + f64-operator outer CG judged on the TRUE
     residual of the host-exact f64 system (stencil_mg._host_setup64). The

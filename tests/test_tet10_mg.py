@@ -8,6 +8,9 @@ from tpufem.fem.tet10 import solve_tet10_case, tet10_from_tet4, tet10_root_nodes
 from tpufem.fem.tet10_mg import Tet10MGSolver
 from tpufem.mesher import WingMeshResolution, structured_wing_mesh
 from tpufem.sets import build_boundary_sets
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute engine cross-checks
 
 RES = WingMeshResolution(16, 16, 4, te_floor_frac=0.006, spacing="le")
 P4 = (1.4, 0.3, 15.0, 0.09)

@@ -25,6 +25,8 @@ from tpufem.fem.tet10_stencil import (
 from tpufem.mesher import WingMeshResolution, structured_wing_mesh
 from tpufem.sets import build_boundary_sets
 
+pytestmark = pytest.mark.slow  # multi-minute engine cross-checks
+
 PARAMS = (1.2, 0.35, 10.0, 0.10)
 
 

@@ -23,6 +23,7 @@ from tpufem.fem.tet10_mg import Tet10MGSolver
 from tpufem.fem.xprec import tet10_residual_xprec
 from tpufem.mesher import WingMeshResolution, structured_wing_mesh
 from tpufem.sets import build_boundary_sets
+import pytest
 
 RES = WingMeshResolution(16, 16, 4, te_floor_frac=0.006, spacing="le")
 P4 = (1.4, 0.3, 15.0, 0.09)
@@ -60,6 +61,7 @@ def test_xprec_matches_f64_operator_on_random_x():
     assert abs(rn - rn_jax) / rn_jax < 1e-12
 
 
+@pytest.mark.slow
 def test_refinement_beats_pure_f64_cg_on_true_residual():
     _, bs, t10, lam, mu, nodes64, conn, Jinv64, vols64 = _system()
 
@@ -96,6 +98,7 @@ def test_refinement_beats_pure_f64_cg_on_true_residual():
     assert rel_refined < rel_f64
 
 
+@pytest.mark.slow
 def test_f32_cast_stress_recovery_error():
     """The certified WingStencilT paths recover stress from the f64 state
     (host, real f64) — pins that contract, and MEASURES the von-Mises error
