@@ -33,6 +33,16 @@ if "cpu" in os.environ.get("JAX_PLATFORMS", "").split(","):
     _jax.config.update("jax_platforms", "cpu")
 
 
+def _single_chip_record_iters() -> int | None:
+    """Iteration count of the committed single-chip record, for comparability
+    (read from the artifact rather than hardcoded — advisor r4)."""
+    rec = Path(__file__).resolve().parents[1] / "results" / "flagship_tet10_2p5mdof.json"
+    try:
+        return int(json.loads(rec.read_text())["detail"]["iters"])
+    except Exception:  # noqa: BLE001 — comparability note only, never fatal
+        return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results/sharded_tet10_2p5mdof_cpu_mesh.json")
@@ -90,7 +100,7 @@ def main() -> None:
             "rel_residual": float(rel),
             "converged": conv,
             "tol": args.tol,
-            "single_chip_record_iters": 304,
+            "single_chip_record_iters": _single_chip_record_iters(),
             "setup_s": round(setup_s, 3),
             "solver": "span-sharded stencil MG-PCG (shard_map + ppermute halos, "
                       "sharded V-cycle, replicated coarse tail)",
