@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--clip_norm", type=float, default=1.0,
                     help="global-norm gradient clip (0 = off); stabilizes the "
                          "val curve at reference-scale graphs")
+    ap.add_argument("--max_seconds", type=float, default=0.0,
+                    help="wall-clock budget for the fit loop (0 = unbounded); "
+                         "finishes the current epoch then finalizes like an "
+                         "early stop, recording stopped_reason")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="EMA decay for eval/checkpoint params (0 = off); "
                          "0.999 flattens the val curve at reference scale")
@@ -59,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         seed=args.seed,
         clip_norm=args.clip_norm,
         ema_decay=args.ema,
+        max_seconds=args.max_seconds,
         model=SAGEConfig(
             hidden=args.hidden,
             num_layers=args.num_layers,

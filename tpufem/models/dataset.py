@@ -37,13 +37,39 @@ def discover_cases(paths: Paths) -> list[str]:
     return out
 
 
-def load_case_graph(case_id: str, paths: Paths) -> GraphData:
-    surf = dict(np.load(paths.fem_case(case_id) / "surface_results.npz"))
+def load_case_graph(case_id: str, paths: Paths, cache: bool = True) -> GraphData:
+    """Build (or load from the per-case raw cache) one unpadded case graph.
+
+    The per-case cache under processed/raw/ lets graph building overlap a
+    still-running FEM batch (each case is cacheable the moment its artifacts
+    land) and makes dataset-wide rebuilds O(load) instead of O(build). Keyed
+    by the surface_results.npz size+mtime, same staleness contract as the
+    split caches.
+    """
+    npz_p = paths.fem_case(case_id) / "surface_results.npz"
+    cache_p = None
+    if cache:
+        st = npz_p.stat()
+        raw_dir = paths.processed / "raw"
+        cache_p = raw_dir / f"{case_id}_{st.st_size}_{st.st_mtime_ns}.npz"
+        if cache_p.exists():
+            z = np.load(cache_p)
+            return GraphData(**{k: z[k] for k in z.files if k not in ("num_nodes", "num_edges")},
+                             num_nodes=int(z["num_nodes"]), num_edges=int(z["num_edges"]))
+    surf = dict(np.load(npz_p))
     params = json.loads((paths.geometry_case(case_id) / "params.json").read_text())["params"]
     mesh_npz = np.load(paths.mesh_case(case_id) / "mesh.npz")
     sets = json.loads((paths.mesh_case(case_id) / "boundary_sets.json").read_text())
     faces = mesh_npz["surf_faces"][np.asarray(sets["surf_all_faces"], dtype=np.int64)]
-    return build_graph(surf, faces, params)
+    g = build_graph(surf, faces, params)
+    if cache_p is not None:
+        cache_p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = cache_p.with_suffix(".tmp.npz")
+        np.savez(tmp, x=g.x, edge_index=g.edge_index, edge_mask=g.edge_mask,
+                 y=g.y, stress_vm=g.stress_vm, disp=g.disp, loss_mask=g.loss_mask,
+                 node_mask=g.node_mask, num_nodes=g.num_nodes, num_edges=g.num_edges)
+        tmp.replace(cache_p)
+    return g
 
 
 def split_cases(case_ids: list[str], seed: int = 42,
@@ -98,6 +124,12 @@ class WingStressDataset:
         cache_p = self.cache_dir / f"{split}_s{self.seed}_{self._fp}.npz"
         if self.use_cache and cache_p.exists():
             return _load_graphs_npz(cache_p)
+        if self.use_cache:
+            # one pass over the dataset builds EVERY split's cache: each case
+            # graph is built exactly once (graph build at reference-scale
+            # meshes is ~1 s/case on one host core, and the naive path builds
+            # each case twice — once for max-dims, once for its split)
+            return self._build_all_caches()[split]
         raw = [load_case_graph(cid, self.paths) for cid in self.splits[split]]
         if not raw:
             return []
@@ -105,9 +137,26 @@ class WingStressDataset:
         all_ids = self.case_ids
         n_max, e_max = self._max_dims(all_ids)
         padded = [pad_graph(g, n_max, e_max) for g in raw]
-        if self.use_cache:
-            _save_graphs_npz(cache_p, padded)
         return padded
+
+    def _build_all_caches(self) -> dict[str, list[GraphData]]:
+        raw = {cid: load_case_graph(cid, self.paths) for cid in self.case_ids}
+        n_max = max(g.num_nodes for g in raw.values())
+        e_max = max(g.num_edges for g in raw.values())
+        # round up to friendly multiples for XLA layout
+        n_max = -(-n_max // 128) * 128
+        e_max = -(-e_max // 128) * 128
+        dims_p = self.cache_dir / f"dims_s{self.seed}_{self._fp}.json"
+        dims_p.write_text(json.dumps({"n_max": n_max, "e_max": e_max}))
+        out: dict[str, list[GraphData]] = {}
+        for split, ids in self.splits.items():
+            padded = [pad_graph(raw[cid], n_max, e_max) for cid in ids]
+            if padded:
+                _save_graphs_npz(
+                    self.cache_dir / f"{split}_s{self.seed}_{self._fp}.npz", padded
+                )
+            out[split] = padded
+        return out
 
     def _max_dims(self, case_ids: list[str]) -> tuple[int, int]:
         dims_p = self.cache_dir / f"dims_s{self.seed}_{self._fp}.json"

@@ -55,6 +55,11 @@ class TrainConfig:
     # 1260-case dataset; evaluating the EMA iterate decouples model selection
     # from single-step noise (Polyak averaging)
     ema_decay: float = 0.0
+    # wall-clock budget for fit() (0 = unbounded): a bounded run finishes the
+    # current epoch, then stops and finalizes exactly like an early stop —
+    # best/final checkpoints and the log stay complete and honest (the summary
+    # records stopped_reason="time_budget")
+    max_seconds: float = 0.0
     model: SAGEConfig = field(default_factory=SAGEConfig)
 
 
@@ -180,6 +185,7 @@ class Trainer:
         epochs_no_improve = 0
         plateau_no_improve = 0
         log: list[dict] = []
+        stopped_reason = None
         t_start = time.time()
 
         for epoch in range(1, cfg.max_epochs + 1):
@@ -233,9 +239,14 @@ class Trainer:
             if verbose:
                 print(
                     f"epoch {epoch:3d}  train {train_loss:.5f}  val {val_loss:.5f}"
-                    f"  lr {lr_now:.2e}  {epoch_time:.2f}s"
+                    f"  lr {lr_now:.2e}  {epoch_time:.2f}s",
+                    flush=True,
                 )
             if epochs_no_improve >= cfg.early_stop_patience:
+                stopped_reason = "early_stop"
+                break
+            if cfg.max_seconds > 0 and time.time() - t_start > cfg.max_seconds:
+                stopped_reason = "time_budget"
                 break
 
         total = time.time() - t_start
@@ -250,6 +261,7 @@ class Trainer:
             "best_val_loss": best_val,
             "epochs_run": len(log),
             "total_time_s": total,
+            "stopped_reason": stopped_reason or "max_epochs",
             "log": log,
             "model_config": cfg.model.to_json_dict(),
         }
